@@ -1,0 +1,132 @@
+"""Mosaic remap: device path must be BIT-IDENTICAL to the sequential cv2
+reference kernel (combine_detect.py:138-161), including overlapping boxes,
+out-of-bounds boxes, and cv2's float64 INTER_NEAREST rounding quirks."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from video_desensitization_tpu.ops.mosaic import (
+    build_mosaic_maps,
+    composed_mosaic_table,
+    gaussian_blur_boxes,
+    mosaic_boxes_batch,
+    mosaic_host_reference,
+)
+
+RNG = np.random.default_rng(12)
+
+
+def test_composed_table_matches_cv2_resize():
+    """table[b] must reproduce cv2 INTER_NEAREST down+up exactly, for every
+    extent b: mosaic of a 1-D ramp through cv2 == ramp[table[b, :b]]."""
+    table = composed_mosaic_table(8, 512)
+    for b in list(range(1, 140)) + [255, 256, 257, 511, 512]:
+        s = max(1, b // 8)
+        ramp = np.arange(b, dtype=np.float32).reshape(1, b)
+        small = cv2.resize(ramp, (s, 1), interpolation=cv2.INTER_NEAREST)
+        up = cv2.resize(small, (b, 1), interpolation=cv2.INTER_NEAREST)
+        want = up.reshape(-1).astype(np.int64)
+        got = table[b, :b].astype(np.int64)
+        np.testing.assert_array_equal(got, want, err_msg=f"b={b}")
+
+
+def test_host_reference_matches_reference_kernel():
+    """mosaic_host_reference == literal re-execution of the reference recipe."""
+    img = RNG.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    boxes = [(10, 20, 60, 90), (-5, 100, 40, 200), (50, 50, 50, 80)]
+    got = mosaic_host_reference(img, boxes)
+
+    want = img.copy()
+    h, w = want.shape[:2]
+    for x1, y1, x2, y2 in boxes:
+        x1, y1, x2, y2 = max(0, x1), max(0, y1), min(w, x2), min(h, y2)
+        if x2 <= x1 or y2 <= y1:
+            continue
+        area = want[y1:y2, x1:x2]
+        small = cv2.resize(
+            area,
+            (max(1, (x2 - x1) // 8), max(1, (y2 - y1) // 8)),
+            interpolation=cv2.INTER_NEAREST,
+        )
+        mosaic = cv2.resize(small, (x2 - x1, y2 - y1), interpolation=cv2.INTER_NEAREST)
+        want[y1:y2, x1:x2] = mosaic
+    np.testing.assert_array_equal(got, want)
+
+
+def _random_boxes(k, h, w, rng):
+    x1 = rng.integers(-30, w + 10, k)
+    y1 = rng.integers(-30, h + 10, k)
+    x2 = x1 + rng.integers(1, 120, k)
+    y2 = y1 + rng.integers(1, 120, k)
+    return np.stack([x1, y1, x2, y2], -1).astype(np.int32)
+
+
+def test_device_mosaic_bitwise_vs_cv2():
+    h, w, k = 240, 320, 6
+    for trial in range(8):
+        img = RNG.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        boxes = _random_boxes(k, h, w, RNG)
+        valid = RNG.random(k) > 0.2
+        ymap, xmap = jax.jit(
+            lambda b, v: build_mosaic_maps(b, v, h, w, 8)
+        )(jnp.asarray(boxes), jnp.asarray(valid))
+        got = np.asarray(img)[np.asarray(ymap), np.asarray(xmap)]
+        want = mosaic_host_reference(img, boxes[valid])
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_device_mosaic_overlapping_boxes_sequential_semantics():
+    h, w = 100, 100
+    img = RNG.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    boxes = np.array(
+        [[5, 5, 70, 70], [30, 30, 95, 95], [0, 0, 100, 100]], dtype=np.int32
+    )
+    valid = np.ones(3, bool)
+    out = mosaic_boxes_batch(
+        jnp.asarray(img[None]), jnp.asarray(boxes[None]), jnp.asarray(valid[None])
+    )
+    want = mosaic_host_reference(img, boxes)
+    np.testing.assert_array_equal(np.asarray(out)[0], want)
+
+
+def test_batch_mosaic_shapes_and_identity():
+    frames = RNG.integers(0, 255, (3, 64, 80, 3), dtype=np.uint8)
+    boxes = np.zeros((3, 4, 4), np.int32)
+    valid = np.zeros((3, 4), bool)
+    out = np.asarray(
+        mosaic_boxes_batch(jnp.asarray(frames), jnp.asarray(boxes), jnp.asarray(valid))
+    )
+    np.testing.assert_array_equal(out, frames)  # no valid boxes -> identity
+
+
+def test_mosaic_level_other_than_8():
+    h, w = 90, 110
+    img = RNG.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    boxes = np.array([[10, 10, 80, 70]], np.int32)
+    out = np.asarray(
+        mosaic_boxes_batch(
+            jnp.asarray(img[None]),
+            jnp.asarray(boxes[None]),
+            jnp.asarray(np.ones((1, 1), bool)),
+            level=4,
+        )
+    )[0]
+    want = mosaic_host_reference(img, boxes, level=4)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_gaussian_blur_boxes():
+    frames = RNG.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    boxes = np.array([[[8, 8, 40, 40]]], np.int32)
+    valid = np.ones((1, 1), bool)
+    out = np.asarray(
+        gaussian_blur_boxes(jnp.asarray(frames), jnp.asarray(boxes), jnp.asarray(valid))
+    )
+    assert out.dtype == np.uint8
+    # Outside the box: untouched. Inside: smoothed (variance drops).
+    np.testing.assert_array_equal(out[0, 50:, 50:], frames[0, 50:, 50:])
+    inside_got = out[0, 12:36, 12:36].astype(np.float64)
+    inside_src = frames[0, 12:36, 12:36].astype(np.float64)
+    assert inside_got.var() < inside_src.var() * 0.5

@@ -1,0 +1,93 @@
+"""config.ini-compatible configuration (reference combine_detect.py:717-766).
+
+Same sections and keys ([PATHS] model_path, model_weights, record_dir,
+output_h265_dir, output_videos_dir, temp_directory_base, record_output_dir;
+[SETTINGS] video_formats, cleanup_temp, copy_unprocessed_videos, batch_size)
+plus TPU-specific additions under [TPU] (all optional): dtype, mesh_data,
+mosaic_level, max_detections, input_size.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import os
+from typing import List, Optional
+
+REQUIRED_PATH_KEYS = (
+    "model_path",
+    "model_weights",
+    "record_dir",
+    "output_h265_dir",
+    "output_videos_dir",
+    "temp_directory_base",
+    "record_output_dir",
+)
+
+DEFAULT_VIDEO_FORMATS = ["h265", "hevc", "265", "mp4", "mov", "avi"]
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    model_path: Optional[str] = None
+    model_weights: Optional[str] = None
+    record_dir: str = ""
+    output_h265_dir: str = ""
+    output_videos_dir: str = ""
+    temp_directory_base: str = ""
+    record_output_dir: str = ""
+    video_formats: List[str] = dataclasses.field(
+        default_factory=lambda: list(DEFAULT_VIDEO_FORMATS)
+    )
+    cleanup_temp: bool = True
+    copy_unprocessed_videos: bool = True
+    batch_size: int = 16
+    # TPU additions
+    dtype: str = "bfloat16"
+    mesh_data: int = 0  # 0 = all local devices
+    mosaic_level: int = 8
+    max_detections: int = 128
+    input_size: int = 640
+    confidence: float = 0.5
+    nms_iou: float = 0.4
+    plate_confidence: float = 0.5
+    output_fps: float = 60.0
+
+
+def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig:
+    """Parse a reference-format config.ini into a typed config."""
+    parser = configparser.ConfigParser()
+    if not parser.read(path, encoding="utf-8"):
+        raise FileNotFoundError(f"config file not found: {path}")
+    if "PATHS" not in parser:
+        raise ValueError("config missing [PATHS] section")
+    paths = parser["PATHS"]
+    missing = [k for k in REQUIRED_PATH_KEYS if k not in paths]
+    if strict and missing:
+        raise ValueError(f"config missing required PATHS keys: {missing}")
+
+    cfg = PipelineConfig()
+    for k in REQUIRED_PATH_KEYS:
+        if k in paths:
+            setattr(cfg, k, paths.get(k).strip().strip('"'))
+
+    if "SETTINGS" in parser:
+        s = parser["SETTINGS"]
+        fmts = s.get("video_formats", ",".join(DEFAULT_VIDEO_FORMATS))
+        cfg.video_formats = [f.strip().lower() for f in fmts.split(",") if f.strip()]
+        cfg.cleanup_temp = s.getboolean("cleanup_temp", True)
+        cfg.copy_unprocessed_videos = s.getboolean("copy_unprocessed_videos", True)
+        cfg.batch_size = s.getint("batch_size", 16)
+
+    if "TPU" in parser:
+        t = parser["TPU"]
+        cfg.dtype = t.get("dtype", cfg.dtype)
+        cfg.mesh_data = t.getint("mesh_data", cfg.mesh_data)
+        cfg.mosaic_level = t.getint("mosaic_level", cfg.mosaic_level)
+        cfg.max_detections = t.getint("max_detections", cfg.max_detections)
+        cfg.input_size = t.getint("input_size", cfg.input_size)
+        cfg.confidence = t.getfloat("confidence", cfg.confidence)
+        cfg.nms_iou = t.getfloat("nms_iou", cfg.nms_iou)
+        cfg.plate_confidence = t.getfloat("plate_confidence", cfg.plate_confidence)
+        cfg.output_fps = t.getfloat("output_fps", cfg.output_fps)
+    return cfg

@@ -1,0 +1,118 @@
+"""CLI entrypoint — the ``combine_detect.py`` equivalent.
+
+Usage (parity with the reference's config-driven, no-arg invocation):
+
+    python -m video_desensitization_tpu.cli.main [config.ini]
+    python -m video_desensitization_tpu.cli.main --video in.mp4 --out out.mp4
+    python -m video_desensitization_tpu.cli.main --images dir/ --out outdir/
+
+Runs the full record job (unpack -> detect+mosaic on TPU -> repack) when a
+record config is given, or single-video / image-directory modes for ad-hoc
+use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build_engine(cfg, with_plates: bool = True):
+    from video_desensitization_tpu.detect.face import Retinaface
+    from video_desensitization_tpu.detect.plate import PlateDetector
+    from video_desensitization_tpu.parallel.mesh import make_mesh
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
+    mesh = None
+    n_dev = len(jax.devices())
+    if cfg.mesh_data == 0 and n_dev > 1:
+        mesh = make_mesh()
+    elif cfg.mesh_data > 1:
+        mesh = make_mesh(data=cfg.mesh_data)
+
+    face = Retinaface(
+        model_path=cfg.model_path,
+        backbone="resnet50",
+        confidence=cfg.confidence,
+        nms_iou=cfg.nms_iou,
+        input_shape=[cfg.input_size, cfg.input_size, 3],
+        max_detections=cfg.max_detections,
+        dtype=dtype,
+    )
+    plate = None
+    if with_plates:
+        plate = PlateDetector(
+            model_path=cfg.model_weights,
+            confidence=cfg.plate_confidence,
+            input_shape=(cfg.input_size, cfg.input_size),
+            dtype=dtype,
+        )
+    return DesensitizationEngine(
+        face, plate, mosaic_level=cfg.mosaic_level, mesh=mesh
+    )
+
+
+def main(argv=None) -> int:
+    from video_desensitization_tpu.api.config import PipelineConfig, load_config
+    from video_desensitization_tpu.utils.logging import setup_logger
+
+    p = argparse.ArgumentParser(description="TPU video desensitization")
+    p.add_argument("config", nargs="?", default="config.ini")
+    p.add_argument("--video", help="process a single video file")
+    p.add_argument("--images", help="process a directory of images")
+    p.add_argument("--out", help="output path (video) or directory (images)")
+    p.add_argument("--no-plates", action="store_true")
+    p.add_argument("--batch-size", type=int, default=None)
+    args = p.parse_args(argv)
+
+    log = setup_logger()
+    log.info("jax %s | devices: %s", jax.__version__, jax.devices())
+
+    try:
+        cfg = load_config(args.config, strict=args.video is None and args.images is None)
+    except (FileNotFoundError, ValueError):
+        if args.video is None and args.images is None:
+            raise
+        cfg = PipelineConfig()
+    if args.batch_size:
+        cfg.batch_size = args.batch_size
+
+    t0 = time.time()
+    engine = build_engine(cfg, with_plates=not args.no_plates)
+
+    if args.video:
+        from video_desensitization_tpu.pipeline.streaming import process_video_stream
+
+        out = args.out or args.video.rsplit(".", 1)[0] + "_processed.mp4"
+        stats = process_video_stream(
+            args.video, out, engine, batch_size=cfg.batch_size
+        )
+        log.info(
+            "done: %d frames, %d faces, %d plates, %.1f fps end-to-end",
+            stats.frames, stats.faces, stats.plates, stats.fps,
+        )
+    elif args.images:
+        from video_desensitization_tpu.pipeline.batch import batch_process_images
+
+        out = args.out or args.images.rstrip("/") + "_processed"
+        n, faces, plates = batch_process_images(
+            args.images, out, engine, batch_size=cfg.batch_size
+        )
+        log.info("done: %d images, %d faces, %d plates", n, faces, plates)
+    else:
+        from video_desensitization_tpu.pipeline.video_pipeline import process_record_job
+
+        stats = process_record_job(cfg, engine)
+        log.info("final record: %s", stats.record_path)
+
+    log.info("total wall time: %.1fs", time.time() - t0)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

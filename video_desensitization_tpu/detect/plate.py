@@ -1,0 +1,113 @@
+"""License-plate detector wrapper (YOLOv8 forward + decode + NMS on device).
+
+Replaces the reference's external ultralytics call
+(``plate_detector(batch_images, verbose=False, conf=0.5)``,
+combine_detect.py:217) with a fused on-device program. Preprocessing follows
+the ultralytics convention: aspect-preserving resize onto a 114-gray canvas,
+/255 normalization; boxes are mapped back to original pixels by the exact
+inverse transform.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_desensitization_tpu.models.convert import (
+    convert_yolo_state_dict,
+    load_torch_checkpoint,
+    load_variables,
+)
+from video_desensitization_tpu.models.yolo import YoloV8
+from video_desensitization_tpu.ops.image import letterbox_device, letterbox_params
+from video_desensitization_tpu.ops.nms import batched_nms_padded
+
+YOLO_PAD_VALUE = 114.0
+
+
+class PlateDetector:
+    def __init__(
+        self,
+        variables: Optional[Dict] = None,
+        model_path: Optional[str] = None,
+        num_classes: int = 1,
+        variant: str = "n",
+        confidence: float = 0.5,
+        nms_iou: float = 0.7,
+        input_shape=(640, 640),
+        max_detections: int = 64,
+        dtype=jnp.bfloat16,
+    ):
+        self.confidence = confidence
+        self.nms_iou = nms_iou
+        self.input_hw = (int(input_shape[0]), int(input_shape[1]))
+        self.max_detections = max_detections
+        self.net = YoloV8(num_classes=num_classes, variant=variant, dtype=dtype)
+        self.variables = (
+            variables if variables is not None else self._load(model_path)
+        )
+        self._detect_jit = jax.jit(self._detect_program)
+
+    def _load(self, model_path: Optional[str]) -> Dict:
+        if model_path is None:
+            dummy = jnp.zeros((1, *self.input_hw, 3), jnp.float32)
+            variables = self.net.init({"params": jax.random.PRNGKey(0)}, dummy)
+            return jax.tree.map(np.asarray, dict(variables))
+        if str(model_path).endswith((".pt", ".pth")):
+            return convert_yolo_state_dict(load_torch_checkpoint(model_path))
+        return load_variables(model_path)
+
+    def _detect_program(self, variables, frames_u8, image_shapes):
+        """uint8 NHWC frames -> padded (B, K, 6) [x1,y1,x2,y2,score,cls] in
+        original pixels + keep mask."""
+        b, ih, iw, _ = frames_u8.shape
+        h, w = self.input_hw
+        x = letterbox_device(frames_u8, self.input_hw, pad_value=YOLO_PAD_VALUE)
+        x = (x / 255.0).astype(self.net.dtype)
+        boxes, probs = self.net.apply(variables, x, train=False)
+        score = jnp.max(probs, axis=-1, keepdims=True)
+        cls = jnp.argmax(probs, axis=-1, keepdims=True).astype(jnp.float32)
+        dets = jnp.concatenate([boxes, score, cls], axis=-1)  # (B, A, 6)
+        dets, keep = batched_nms_padded(
+            dets, self.confidence, self.nms_iou, self.max_detections
+        )
+        # Undo the letterbox: static geometry since (ih, iw) is static.
+        nh, nw, top, left = letterbox_params((ih, iw), (h, w))
+        gain_x = iw / nw
+        gain_y = ih / nh
+        x1 = jnp.clip((dets[..., 0] - left) * gain_x, 0, iw)
+        y1 = jnp.clip((dets[..., 1] - top) * gain_y, 0, ih)
+        x2 = jnp.clip((dets[..., 2] - left) * gain_x, 0, iw)
+        y2 = jnp.clip((dets[..., 3] - top) * gain_y, 0, ih)
+        out = jnp.stack([x1, y1, x2, y2, dets[..., 4], dets[..., 5]], axis=-1)
+        out = jnp.where(keep[..., None], out, jnp.zeros_like(out))
+        return out, keep
+
+    def detect_padded(self, frames_u8: np.ndarray):
+        b, h, w, _ = frames_u8.shape
+        shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+        return self._detect_jit(self.variables, jnp.asarray(frames_u8), jnp.asarray(shapes))
+
+    def __call__(self, images, verbose: bool = False, conf: Optional[float] = None):
+        """Reference-parity callable: list of RGB uint8 images ->
+        list of (image, boxes) tuples (the format combine_detect.py:239
+        expects)."""
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        outputs = [None] * len(images)
+        by_shape: Dict[Tuple[int, int], list] = {}
+        for i, im in enumerate(images):
+            by_shape.setdefault(im.shape[:2], []).append(i)
+        for shape_hw, idxs in by_shape.items():
+            batch = np.stack([np.asarray(images[i], np.uint8) for i in idxs])
+            dets, keep = self.detect_padded(batch)
+            dets, keep = np.asarray(dets), np.asarray(keep)
+            if conf is not None:
+                keep = keep & (dets[..., 4] >= conf)
+            for row, i in enumerate(idxs):
+                outputs[i] = (images[i], dets[row][keep[row]][:, :4].tolist())
+        return outputs

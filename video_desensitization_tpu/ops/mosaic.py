@@ -1,0 +1,230 @@
+"""Per-ROI pixelation (mosaic) as a pure index remap on device.
+
+The reference mosaics each detected box by INTER_NEAREST downscale by
+``mosaic_level`` then INTER_NEAREST upscale, sequentially per box per frame on
+CPU (``/root/reference/combine_detect.py:138-161, 246-249``). Pixelation never
+blends pixels — it is a pure gather — so sequentially applying N boxes equals
+composing N index remaps and performing ONE gather at the end. That is the
+TPU formulation used here: a ``lax.scan`` over padded boxes composes two
+int32 index maps (ysrc, xsrc) of shape (H, W), then a single gather produces
+the blurred frame. Everything is shape-static and fuses into the jitted
+detection program; frames stay uint8 in HBM.
+
+Bitwise parity with OpenCV: cv2's INTER_NEAREST source index is
+``min(floor(fl64(x * fl64(1.0 / (fl64(dst)/src)))), src-1)`` with float64
+rounding on both the scale and the product. Rather than emulate double
+rounding on device, we exploit that the composed down+up remap for a box of
+extent ``b`` depends only on ``b`` (and the static mosaic level): a host-
+precomputed ``(maxdim+1, maxdim)`` int16 table holds the exact composed source
+offset for every extent, and the device program just gathers rows of it
+(verified bitwise against cv2 in tests/test_mosaic.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+DEFAULT_MOSAIC_LEVEL = 8
+
+
+def _cv2_nn_map(dsz: int, ssz: int) -> np.ndarray:
+    """cv2 INTER_NEAREST source indices, exact float64 semantics."""
+    scale = np.float64(1.0) / (np.float64(dsz) / np.float64(ssz))
+    idx = np.floor(np.arange(dsz, dtype=np.float64) * scale).astype(np.int64)
+    return np.minimum(idx, ssz - 1)
+
+
+@lru_cache(maxsize=8)
+def composed_mosaic_table(
+    level: int = DEFAULT_MOSAIC_LEVEL, maxdim: int = 2048
+) -> np.ndarray:
+    """Exact composed mosaic remap for every box extent up to ``maxdim``.
+
+    table[b, t] = source offset (within the box) of output offset ``t`` after
+    INTER_NEAREST downscale to ``max(1, b // level)`` and upscale back —
+    i.e. ``down_map[up_map[t]]`` in cv2's float64 arithmetic. Rows are padded
+    past ``b`` with the last valid entry (those positions are masked out by
+    the caller anyway). int16: extents up to 32k.
+    """
+    table = np.zeros((maxdim + 1, maxdim), dtype=np.int16)
+    for b in range(1, maxdim + 1):
+        s = max(1, b // level)
+        up = _cv2_nn_map(b, s)
+        down = _cv2_nn_map(s, b)
+        comp = down[up]
+        table[b, :b] = comp
+        if b < maxdim:
+            table[b, b:] = comp[-1]
+    table.setflags(write=False)
+    return table
+
+
+def build_mosaic_maps(
+    boxes: Array,
+    valid: Array,
+    height: int,
+    width: int,
+    level: int = DEFAULT_MOSAIC_LEVEL,
+) -> Tuple[Array, Array]:
+    """Compose per-box mosaic remaps into final (ysrc, xsrc) int32 maps.
+
+    boxes: (K, 4) int32 xyxy in pixels (unclipped ok); valid: (K,) bool.
+    Returns ymap, xmap each (H, W) int32 such that
+    ``out[y, x] = frame[ymap[y, x], xmap[y, x]]`` reproduces sequentially
+    mosaicking every valid box in order.
+    """
+    maxdim = max(height, width)
+    table = jnp.asarray(composed_mosaic_table(level, maxdim))
+
+    ys0 = jnp.broadcast_to(
+        jnp.arange(height, dtype=jnp.int32)[:, None], (height, width)
+    )
+    xs0 = jnp.broadcast_to(jnp.arange(width, dtype=jnp.int32)[None, :], (height, width))
+
+    row_idx = jnp.arange(height, dtype=jnp.int32)
+    col_idx = jnp.arange(width, dtype=jnp.int32)
+
+    def apply_box(carry, box_and_valid):
+        ymap, xmap = carry
+        box, ok = box_and_valid
+        x1 = jnp.clip(box[0], 0, width)
+        y1 = jnp.clip(box[1], 0, height)
+        x2 = jnp.clip(box[2], 0, width)
+        y2 = jnp.clip(box[3], 0, height)
+        bh = y2 - y1
+        bw = x2 - x1
+        ok = jnp.logical_and(ok, jnp.logical_and(bh > 0, bw > 0))
+
+        ty = jnp.clip(row_idx - y1, 0, maxdim - 1)
+        src_y = y1 + table[bh, ty].astype(jnp.int32)
+        tx = jnp.clip(col_idx - x1, 0, maxdim - 1)
+        src_x = x1 + table[bw, tx].astype(jnp.int32)
+
+        in_y = jnp.logical_and(row_idx >= y1, row_idx < y2)
+        in_x = jnp.logical_and(col_idx >= x1, col_idx < x2)
+        inside = jnp.logical_and(
+            jnp.logical_and(ok, in_y)[:, None], in_x[None, :]
+        )
+
+        # Compose with the accumulated map only inside the box:
+        # new(y, x) = old(src_y[y], src_x[x]) if inside else old(y, x).
+        # The box remap is separable, so the 2-D gather is two cheap takes.
+        gy = jnp.take(jnp.take(ymap, src_y, axis=0), src_x, axis=1)
+        gx = jnp.take(jnp.take(xmap, src_y, axis=0), src_x, axis=1)
+        ymap = jnp.where(inside, gy, ymap)
+        xmap = jnp.where(inside, gx, xmap)
+        return (ymap, xmap), None
+
+    (ymap, xmap), _ = jax.lax.scan(apply_box, (ys0, xs0), (boxes, valid))
+    return ymap, xmap
+
+
+def apply_remap(frame: Array, ymap: Array, xmap: Array) -> Array:
+    """Gather a (H, W, C) frame through (H, W) index maps."""
+    return frame[ymap, xmap]
+
+
+def mosaic_boxes_batch(
+    frames: Array,
+    boxes: Array,
+    valid: Array,
+    level: int = DEFAULT_MOSAIC_LEVEL,
+) -> Array:
+    """Mosaic every valid box on every frame of an NHWC batch (on device).
+
+    frames: (B, H, W, C) any dtype; boxes: (B, K, 4) int32 pixel xyxy;
+    valid: (B, K) bool. Returns blurred frames, same shape/dtype.
+    """
+    _, h, w, _ = frames.shape
+
+    def per_image(frame, bxs, ok):
+        ymap, xmap = build_mosaic_maps(bxs, ok, h, w, level)
+        return apply_remap(frame, ymap, xmap)
+
+    return jax.vmap(per_image)(frames, boxes, valid)
+
+
+def mosaic_host_reference(
+    img: np.ndarray, boxes, level: int = DEFAULT_MOSAIC_LEVEL
+) -> np.ndarray:
+    """Sequential cv2 mosaic, bit-identical to the reference CPU kernel.
+
+    Used as the golden oracle in tests and as the host fallback path.
+    """
+    import cv2
+
+    img = img.copy()
+    h, w = img.shape[:2]
+    for x1, y1, x2, y2 in boxes:
+        x1, y1 = max(0, int(x1)), max(0, int(y1))
+        x2, y2 = min(w, int(x2)), min(h, int(y2))
+        if x2 <= x1 or y2 <= y1:
+            continue
+        area = img[y1:y2, x1:x2]
+        sh = max(1, (y2 - y1) // level)
+        sw = max(1, (x2 - x1) // level)
+        small = cv2.resize(area, (sw, sh), interpolation=cv2.INTER_NEAREST)
+        mosaic = cv2.resize(small, (x2 - x1, y2 - y1), interpolation=cv2.INTER_NEAREST)
+        img[y1:y2, x1:x2] = mosaic
+    return img
+
+
+def gaussian_blur_boxes(
+    frames: Array,
+    boxes: Array,
+    valid: Array,
+    sigma: float = 6.0,
+    kernel_radius: int = 12,
+) -> Array:
+    """Alternative anonymization: Gaussian-blur box interiors (device).
+
+    Separable depthwise blur over the full frame (VPU-friendly two 1-D
+    convolutions) composited into box regions. frames (B, H, W, C) uint8 or
+    float; boxes (B, K, 4) int32; valid (B, K) bool.
+    """
+    b, h, w, c = frames.shape
+    x = frames.astype(jnp.float32)
+    r = kernel_radius
+    k = jnp.exp(-0.5 * (jnp.arange(-r, r + 1, dtype=jnp.float32) / sigma) ** 2)
+    k = k / jnp.sum(k)
+
+    # Separable blur via conv over rows then cols (feature dims batched).
+    def blur_axis(v, axis):
+        moved = jnp.moveaxis(v, axis, -1)  # (..., L)
+        flat = moved.reshape(-1, 1, moved.shape[-1])
+        out = jax.lax.conv_general_dilated(
+            flat,
+            k.reshape(1, 1, -1),
+            window_strides=(1,),
+            padding=[(r, r)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        return jnp.moveaxis(out.reshape(moved.shape), -1, axis)
+
+    blurred = blur_axis(blur_axis(x, 1), 2)
+
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+
+    def inside_any(bxs, ok):
+        def one(box_ok, box):
+            x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+            m = (ys >= y1) & (ys < y2) & (xs >= x1) & (xs < x2)
+            return jnp.logical_and(m, box_ok)
+
+        masks = jax.vmap(one)(ok, bxs)  # (K, H, W)
+        return jnp.any(masks, axis=0)
+
+    mask = jax.vmap(inside_any)(boxes, valid)  # (B, H, W)
+    out = jnp.where(mask[..., None], blurred, x)
+    if jnp.issubdtype(frames.dtype, jnp.integer):
+        out = jnp.clip(jnp.round(out), 0, 255)
+    return out.astype(frames.dtype)

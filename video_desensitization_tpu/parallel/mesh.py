@@ -1,0 +1,83 @@
+"""Device mesh construction and sharding helpers.
+
+Design (TPU-first, scaling-book recipe): pick a mesh, annotate shardings on
+program inputs/outputs, let XLA insert the collectives.
+
+* ``data`` axis — shards the frame/batch dimension. Detection frames are
+  independent (the video timeline is embarrassingly parallel), so inference
+  scales linearly over ICI with zero cross-chip traffic; only training
+  gradients all-reduce over this axis.
+* ``model`` axis — optional tensor-parallel axis sharding conv channels of
+  the detector for latency mode; defaults to size 1 (the models fit
+  comfortably on one chip).
+
+Frames ride host->HBM as uint8 and are sharded batch-wise at transfer time
+(``shard_batch``), giving per-chip DMA streams instead of a replicated blob.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    ``data`` defaults to n_devices // model. Device order follows
+    ``jax.devices()`` which already enumerates ICI-adjacent chips contiguously
+    on TPU slices, keeping the data axis on ICI.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard dim 0 (batch/frames) over ``data``; replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of batch-major arrays sharded over ``data``."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def shard_params(mesh: Mesh, params):
+    """Replicate parameters across the mesh (inference default).
+
+    With a >1 ``model`` axis a partition rule set would go here; detection
+    nets are small enough that replication is the bandwidth-optimal choice.
+    """
+    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), params)
+
+
+def pad_batch_to_devices(batch: np.ndarray, n: int):
+    """Pad dim 0 to a multiple of ``n``; returns (padded, original_len)."""
+    b = batch.shape[0]
+    rem = (-b) % n
+    if rem == 0:
+        return batch, b
+    pad = np.repeat(batch[-1:], rem, axis=0)
+    return np.concatenate([batch, pad], axis=0), b

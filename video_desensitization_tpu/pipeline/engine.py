@@ -1,0 +1,123 @@
+"""The fused desensitization device program.
+
+The reference hot loop (combine_detect.py:183-277) is: host-threaded image
+load -> two GPU model calls in a 2-thread pool -> host merge of boxes ->
+sequential CPU cv2 mosaic per box -> threaded save. Here the entire middle —
+letterbox, both detector forwards, decode, NMS, letterbox-correction, pixel
+scaling, box merge, and the mosaic remap — is ONE jitted XLA program per
+(batch, H, W) signature: raw uint8 frames in, blurred uint8 frames + padded
+detections out. Host code only does codec work and transfers.
+
+Scaling: pass a ``parallel.make_mesh()`` mesh and the engine shards the frame
+axis over ``data`` (frames are independent; zero cross-chip traffic at
+inference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_desensitization_tpu.detect.face import Retinaface
+from video_desensitization_tpu.ops.mosaic import mosaic_boxes_batch
+from video_desensitization_tpu.parallel.mesh import (
+    batch_sharding,
+    pad_batch_to_devices,
+    replicated,
+)
+
+
+@dataclasses.dataclass
+class EngineResult:
+    frames: np.ndarray  # blurred uint8 (B, H, W, 3)
+    face_boxes: list  # per-image list of [x1, y1, x2, y2] float pixel boxes
+    plate_boxes: list
+    num_faces: int
+    num_plates: int
+
+
+class DesensitizationEngine:
+    def __init__(
+        self,
+        face_detector: Retinaface,
+        plate_detector: Optional[Any] = None,
+        mosaic_level: int = 8,
+        mesh=None,
+    ):
+        self.face = face_detector
+        self.plate = plate_detector
+        self.mosaic_level = mosaic_level
+        self.mesh = mesh
+        self._program = jax.jit(self._build_program())
+
+    def _build_program(self):
+        face = self.face
+        plate = self.plate
+        level = self.mosaic_level
+
+        def program(face_vars, plate_vars, frames_u8, image_shapes):
+            face_dets, face_px, face_keep = face._detect_program(
+                face_vars, frames_u8, image_shapes
+            )
+            fboxes = face_px[..., :4].astype(jnp.int32)
+            if plate is not None:
+                plate_px, plate_keep = plate._detect_program(
+                    plate_vars, frames_u8, image_shapes
+                )
+                pboxes = plate_px[..., :4].astype(jnp.int32)
+                boxes = jnp.concatenate([fboxes, pboxes], axis=1)
+                valid = jnp.concatenate([face_keep, plate_keep], axis=1)
+            else:
+                plate_px = jnp.zeros((frames_u8.shape[0], 1, 6), jnp.float32)
+                plate_keep = jnp.zeros((frames_u8.shape[0], 1), bool)
+                boxes, valid = fboxes, face_keep
+            blurred = mosaic_boxes_batch(frames_u8, boxes, valid, level)
+            return blurred, face_px, face_keep, plate_px, plate_keep
+
+        return program
+
+    def process_batch(
+        self, frames: np.ndarray, image_shapes: Optional[np.ndarray] = None
+    ) -> EngineResult:
+        """frames: uint8 (B, H, W, 3) RGB at native resolution."""
+        b, h, w, _ = frames.shape
+        if image_shapes is None:
+            image_shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+        orig_b = b
+        frames_in, shapes_in = frames, image_shapes
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            frames_in, _ = pad_batch_to_devices(frames, n)
+            shapes_in, _ = pad_batch_to_devices(image_shapes, n)
+            frames_in = jax.device_put(
+                frames_in, batch_sharding(self.mesh, 4)
+            )
+            shapes_in = jax.device_put(shapes_in, batch_sharding(self.mesh, 2))
+
+        plate_vars = self.plate.variables if self.plate is not None else None
+        blurred, face_px, face_keep, plate_px, plate_keep = self._program(
+            self.face.variables, plate_vars, jnp.asarray(frames_in), jnp.asarray(shapes_in)
+        )
+        blurred = np.asarray(blurred)[:orig_b]
+        face_px = np.asarray(face_px)[:orig_b]
+        face_keep = np.asarray(face_keep)[:orig_b]
+        plate_px = np.asarray(plate_px)[:orig_b]
+        plate_keep = np.asarray(plate_keep)[:orig_b]
+
+        face_boxes = [face_px[i][face_keep[i]][:, :4].tolist() for i in range(orig_b)]
+        plate_boxes = [
+            plate_px[i][plate_keep[i]][:, :4].tolist() for i in range(orig_b)
+        ]
+        return EngineResult(
+            frames=blurred,
+            face_boxes=face_boxes,
+            plate_boxes=plate_boxes,
+            num_faces=int(face_keep.sum()),
+            num_plates=int(plate_keep.sum()),
+        )

@@ -1,0 +1,144 @@
+"""Per-video and per-record pipelines — reference L5 orchestration parity
+(process_video_pipeline / process_single_video / process_mf4 /
+copy_unprocessed_video, combine_detect.py:597-783)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from video_desensitization_tpu.api.config import PipelineConfig
+from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+from video_desensitization_tpu.pipeline.streaming import process_video_stream
+from video_desensitization_tpu.record.repack import write_allH265_record_all
+from video_desensitization_tpu.record.unpack import read_record2h265_all
+from video_desensitization_tpu.record.topics import HEVC_SUBDIR
+from video_desensitization_tpu.utils.logging import get_logger
+
+
+@dataclass
+class VideoResult:
+    success: bool
+    frames: int = 0
+    faces: int = 0
+    plates: int = 0
+    wall_s: float = 0.0
+
+
+def process_single_video(
+    video_path: str,
+    output_dir: str,
+    engine: DesensitizationEngine,
+    batch_size: int = 16,
+    output_fps: Optional[float] = None,
+    output_ext: Optional[str] = None,
+) -> VideoResult:
+    """Desensitize one video; output named <name>_processed.<ext>
+    (reference combine_detect.py:658 naming)."""
+    log = get_logger("process_single_video")
+    os.makedirs(output_dir, exist_ok=True)
+    name, ext = os.path.splitext(os.path.basename(video_path))
+    ext = output_ext or ext
+    out_path = os.path.join(output_dir, f"{name}_processed{ext}")
+    t0 = time.time()
+    try:
+        stats = process_video_stream(
+            video_path, out_path, engine, batch_size=batch_size, fps=output_fps
+        )
+    except Exception as e:  # noqa: BLE001
+        log.error("failed on %s: %s", video_path, e)
+        return VideoResult(False, wall_s=time.time() - t0)
+    return VideoResult(
+        True, stats.frames, stats.faces, stats.plates, time.time() - t0
+    )
+
+
+def copy_unprocessed_video(video_path: str, output_dir: str) -> bool:
+    """Copy non-video files through (reference combine_detect.py:701-715)."""
+    log = get_logger("copy_unprocessed")
+    try:
+        os.makedirs(output_dir, exist_ok=True)
+        shutil.copy2(video_path, os.path.join(output_dir, os.path.basename(video_path)))
+        return True
+    except Exception as e:  # noqa: BLE001
+        log.error("copy failed for %s: %s", video_path, e)
+        return False
+
+
+def process_mf4(file_path: str, output_dir: str) -> bool:
+    """.mf4 measurement files are copied, not desensitized
+    (reference combine_detect.py:768-783)."""
+    return copy_unprocessed_video(file_path, output_dir)
+
+
+@dataclass
+class RecordJobStats:
+    videos_processed: int = 0
+    videos_copied: int = 0
+    videos_failed: int = 0
+    frames: int = 0
+    faces: int = 0
+    plates: int = 0
+    record_path: Optional[str] = None
+    wall_s: float = 0.0
+
+
+def process_record_job(
+    config: PipelineConfig, engine: DesensitizationEngine
+) -> RecordJobStats:
+    """Full record job: unpack -> per-stream desensitize -> repack
+    (the reference __main__ flow, combine_detect.py:786-990)."""
+    log = get_logger("record_job")
+    stats = RecordJobStats()
+    t0 = time.time()
+
+    read_record2h265_all(config.record_dir, config.output_h265_dir)
+    hevc_dir = os.path.join(config.output_h265_dir, HEVC_SUBDIR)
+    os.makedirs(config.output_videos_dir, exist_ok=True)
+
+    for root, _dirs, files in os.walk(hevc_dir):
+        for fname in sorted(files):
+            fpath = os.path.join(root, fname)
+            ext = os.path.splitext(fname)[1].lower().lstrip(".")
+            if ext == "mf4":
+                if process_mf4(fpath, config.output_videos_dir):
+                    stats.videos_copied += 1
+                continue
+            if ext in config.video_formats:
+                res = process_single_video(
+                    fpath,
+                    config.output_videos_dir,
+                    engine,
+                    batch_size=config.batch_size,
+                    output_fps=config.output_fps,
+                )
+                if res.success:
+                    stats.videos_processed += 1
+                    stats.frames += res.frames
+                    stats.faces += res.faces
+                    stats.plates += res.plates
+                else:
+                    stats.videos_failed += 1
+            elif config.copy_unprocessed_videos:
+                if copy_unprocessed_video(fpath, config.output_videos_dir):
+                    stats.videos_copied += 1
+
+    stats.record_path = write_allH265_record_all(
+        config.record_dir, config.output_videos_dir, config.record_output_dir
+    )
+    stats.wall_s = time.time() - t0
+    log.info(
+        "record job done: %d processed, %d copied, %d failed, %d frames, "
+        "%d faces, %d plates, %.1fs",
+        stats.videos_processed,
+        stats.videos_copied,
+        stats.videos_failed,
+        stats.frames,
+        stats.faces,
+        stats.plates,
+        stats.wall_s,
+    )
+    return stats

@@ -1,0 +1,113 @@
+"""Cyber record container reader.
+
+Parses the section-framed protobuf format: each section is a 16-byte little-
+endian struct (int64 type, int64 size) followed by ``size`` bytes of proto.
+The header section's proto region is a fixed 2048 bytes (zero-padded). The
+public API mirrors ``cyber_record.record.Record``: ``read_messages()`` yields
+``(topic, message, time_ns)`` tuples, with camera-topic payloads parsed as
+``CompressedImage`` (raw bytes otherwise).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Iterator, List, Optional, Tuple, Union
+
+from video_desensitization_tpu.record.proto import cyber_record_pb2 as rp
+from video_desensitization_tpu.record.proto import sensor_image_pb2 as sp
+from video_desensitization_tpu.record.topics import COMPRESSED_IMAGE_TYPE
+
+SECTION_STRUCT = struct.Struct("<qq")
+HEADER_LENGTH = 2048
+
+
+class RecordException(Exception):
+    pass
+
+
+def _parse_payload(message_type: str, content: bytes):
+    if message_type == COMPRESSED_IMAGE_TYPE:
+        img = sp.CompressedImage()
+        img.ParseFromString(content)
+        return img
+    return content
+
+
+class RecordReader:
+    """Read a .record file: header, channels, and chunked messages."""
+
+    def __init__(self, path: str):
+        if not os.path.exists(path):
+            raise RecordException(f"record not found: {path}")
+        self.path = path
+        self.header = rp.Header()
+        self.channels: Dict[str, rp.Channel] = {}
+        self._chunk_positions: List[int] = []
+        self._scan()
+
+    def _read_section(self, f) -> Optional[Tuple[int, bytes]]:
+        raw = f.read(SECTION_STRUCT.size)
+        if len(raw) < SECTION_STRUCT.size:
+            return None
+        stype, size = SECTION_STRUCT.unpack(raw)
+        if stype == rp.SECTION_HEADER:
+            data = f.read(HEADER_LENGTH)
+            return stype, data[:size]
+        data = f.read(size)
+        if len(data) < size:
+            raise RecordException("truncated section")
+        return stype, data
+
+    def _scan(self):
+        with open(self.path, "rb") as f:
+            first = self._read_section(f)
+            if first is None or first[0] != rp.SECTION_HEADER:
+                raise RecordException(f"{self.path}: missing record header")
+            self.header.ParseFromString(first[1])
+            if self.header.compress not in (rp.COMPRESS_NONE,):
+                raise RecordException(
+                    f"unsupported compression: {self.header.compress}"
+                )
+            while True:
+                pos = f.tell()
+                sec = self._read_section(f)
+                if sec is None:
+                    break
+                stype, data = sec
+                if stype == rp.SECTION_CHANNEL:
+                    ch = rp.Channel()
+                    ch.ParseFromString(data)
+                    self.channels[ch.name] = ch
+                elif stype == rp.SECTION_CHUNK_BODY:
+                    self._chunk_positions.append(pos)
+                # chunk headers / index are advisory for sequential reads
+
+    def read_messages(
+        self, topics: Optional[Union[str, List[str]]] = None
+    ) -> Iterator[Tuple[str, object, int]]:
+        """Yield (topic, parsed_message_or_bytes, time_ns) in file order."""
+        if isinstance(topics, str):
+            topics = [topics]
+        want = set(topics) if topics else None
+        with open(self.path, "rb") as f:
+            # Skip header.
+            self._read_section(f)
+            while True:
+                sec = self._read_section(f)
+                if sec is None:
+                    break
+                stype, data = sec
+                if stype != rp.SECTION_CHUNK_BODY:
+                    continue
+                body = rp.ChunkBody()
+                body.ParseFromString(data)
+                for m in body.messages:
+                    if want is not None and m.channel_name not in want:
+                        continue
+                    ch = self.channels.get(m.channel_name)
+                    mtype = ch.message_type if ch else ""
+                    yield m.channel_name, _parse_payload(mtype, m.content), m.time
+
+    def message_count(self, topic: Optional[str] = None) -> int:
+        return sum(1 for _ in self.read_messages(topic))

@@ -1,0 +1,144 @@
+"""Record repack: write desensitized video back into a new .record.
+
+Behavior parity with ``recordDeal.write_allH265_record_all`` (SURVEY.md §3.5):
+match processed output videos to camera topics by filename
+(``match_topics_and_hevcs``), re-encode each to HEVC at 10 Mbps preset medium
+("b:v"/"10M"/"medium" strings in the reference binary), demux to packets with
+pts repair, replace the payloads of that topic's messages in the original
+record (preserving every other channel untouched), and write the final
+.record to ``record_output_dir``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Dict, List, Optional, Sequence
+
+from video_desensitization_tpu.record.packets import ReadPacket
+from video_desensitization_tpu.record.reader import RecordReader
+from video_desensitization_tpu.record.topics import (
+    CAMERA_TOPICS,
+    topic_from_filename,
+)
+from video_desensitization_tpu.record.unpack import _list_records
+from video_desensitization_tpu.record.writer import RecordWriter
+from video_desensitization_tpu.utils.logging import get_logger
+from video_desensitization_tpu.video.av import HEVC_DEFAULTS, VideoDecoder, VideoEncoder
+
+REPACK_FPS = 30.0  # reference rate (recordDeal.so string "30")
+
+VIDEO_EXTS = (".mp4", ".mov", ".avi", ".h265", ".hevc", ".265", ".mkv")
+
+
+def match_topics_and_hevcs(output_videos_dir: str) -> Dict[str, str]:
+    """Map camera topics -> processed video paths by camera_name in filename."""
+    matches: Dict[str, str] = {}
+    if not os.path.isdir(output_videos_dir):
+        return matches
+    for name in sorted(os.listdir(output_videos_dir)):
+        if not name.lower().endswith(VIDEO_EXTS):
+            continue
+        topic = topic_from_filename(name)
+        if topic:
+            matches[topic] = os.path.join(output_videos_dir, name)
+    return matches
+
+
+def _reencode_to_hevc_packets(video_path: str, log) -> List:
+    """Re-encode a processed video to HEVC (10 Mbps / medium) and demux the
+    resulting packets in decode order."""
+    if not os.path.exists(video_path) or os.path.getsize(video_path) == 0:
+        log.error("Video file is empty or not exists: %s", video_path)
+        return []
+    rp = ReadPacket()
+    if video_path.lower().endswith((".h265", ".hevc", ".265")):
+        # Already an elementary HEVC stream with the right payloads.
+        return rp.fix_missing_pts(rp.read_packet(video_path))
+    with tempfile.NamedTemporaryFile(suffix=".h265", delete=False) as tmp:
+        tmp_path = tmp.name
+    try:
+        with VideoDecoder(video_path) as dec:
+            first = next(iter(dec), None)
+            if first is None:
+                log.error("Video file is empty or not exists: %s", video_path)
+                return []
+            h, w = first.shape[:2]
+            with VideoEncoder(
+                tmp_path, w, h, fps=REPACK_FPS, **HEVC_DEFAULTS
+            ) as enc:
+                enc.write(first)
+                for frame in dec:
+                    enc.write(frame)
+        return rp.fix_missing_pts(rp.read_packet(tmp_path))
+    finally:
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+
+
+def write_allH265_record_all(
+    record_dir: str,
+    output_videos_dir: str,
+    record_output_dir: str,
+    topics: Sequence[str] = CAMERA_TOPICS,
+) -> Optional[str]:
+    """Write the desensitized data to the record file.
+
+    Returns the output record path (or None if no input record)."""
+    log = get_logger("recordDeal")
+    records = _list_records(record_dir)
+    if not records:
+        log.error("The record dir %s has no records", record_dir)
+        return None
+    os.makedirs(record_output_dir, exist_ok=True)
+
+    matches = match_topics_and_hevcs(output_videos_dir)
+    topic_packets: Dict[str, List] = {}
+    for topic, video_path in matches.items():
+        pkts = _reencode_to_hevc_packets(video_path, log)
+        if not pkts:
+            log.error(
+                "The record does not contain any data for topic: %s", topic
+            )
+            continue
+        topic_packets[topic] = pkts
+
+    out_path = None
+    for record_path in records:
+        reader = RecordReader(record_path)
+        out_path = os.path.join(
+            record_output_dir, os.path.basename(record_path)
+        )
+        cursor = {t: 0 for t in topic_packets}
+        with RecordWriter(out_path) as writer:
+            for name, ch in reader.channels.items():
+                writer.write_channel(name, ch.message_type, ch.proto_desc)
+            for topic, msg, t in reader.read_messages():
+                if topic in topic_packets and hasattr(msg, "data"):
+                    i = cursor[topic]
+                    pkts = topic_packets[topic]
+                    if i < len(pkts):
+                        new_msg = type(msg)()
+                        new_msg.CopyFrom(msg)
+                        new_msg.data = bytes(pkts[i].data)
+                        cursor[topic] = i + 1
+                        writer.write_message(topic, new_msg, t)
+                        continue
+                    # More original frames than desensitized packets: drop the
+                    # tail rather than leak raw frames.
+                    continue
+                writer.write_message(
+                    topic,
+                    msg if isinstance(msg, (bytes, bytearray)) else msg,
+                    t,
+                )
+        log.info(
+            "All topic images data had changed: %s",
+            sorted(cursor.keys()),
+        )
+        log.info(
+            "The video has been successfully written, and the path has been "
+            "added to: %s",
+            out_path,
+        )
+    return out_path

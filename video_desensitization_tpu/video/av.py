@@ -1,0 +1,308 @@
+"""Python bindings for the native libav layer (ctypes), with cv2 fallback.
+
+``VideoDecoder`` / ``VideoEncoder`` / ``PacketDemuxer`` wrap the C++ shim in
+video/native/vdt_av.cpp (built on demand with the checked-in Makefile). If the
+native library cannot be built/loaded, decode falls back to cv2.VideoCapture;
+encode falls back to cv2.VideoWriter codecs (no HEVC); packet demux has no
+fallback (raw Annex-B parsing in record/ covers elementary streams).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvdt_av.so")
+
+_lib = None
+_load_error: Optional[str] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+    except Exception as e:  # noqa: BLE001
+        _load_error = str(e)
+        return None
+
+    lib.vdt_last_error.restype = ctypes.c_char_p
+    lib.vdt_decoder_open.restype = ctypes.c_void_p
+    lib.vdt_decoder_open.argtypes = [ctypes.c_char_p]
+    lib.vdt_decoder_info.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.vdt_decoder_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.vdt_decoder_close.argtypes = [ctypes.c_void_p]
+    lib.vdt_encoder_open.restype = ctypes.c_void_p
+    lib.vdt_encoder_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_double,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_char_p,
+    ]
+    lib.vdt_encoder_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.vdt_encoder_close.argtypes = [ctypes.c_void_p]
+    lib.vdt_demux_open.restype = ctypes.c_void_p
+    lib.vdt_demux_open.argtypes = [ctypes.c_char_p]
+    lib.vdt_demux_time_base.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.vdt_demux_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.vdt_demux_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class VideoDecoder:
+    """Iterate RGB uint8 frames of a video file (container or raw .h265)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lib = _load()
+        self._h = None
+        self._cap = None
+        if self._lib is not None:
+            self._h = self._lib.vdt_decoder_open(path.encode())
+            if not self._h:
+                raise IOError(
+                    f"decode open failed: {self._lib.vdt_last_error().decode()}"
+                )
+            w = ctypes.c_int()
+            h = ctypes.c_int()
+            fps = ctypes.c_double()
+            n = ctypes.c_int64()
+            self._lib.vdt_decoder_info(self._h, w, h, fps, n)
+            self.width, self.height = w.value, h.value
+            self.fps = fps.value
+            self.nframes = n.value or None
+        else:
+            import cv2
+
+            self._cap = cv2.VideoCapture(path)
+            if not self._cap.isOpened():
+                raise IOError(f"cv2 cannot open {path}")
+            self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            self.fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or 0.0
+            self.nframes = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)) or None
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if self._h is not None:
+            # Raw .h265 streams report 0x0 until the first frame; size the
+            # buffer from codec info or generously retry after first decode.
+            if self.width == 0 or self.height == 0:
+                buf = np.empty((2176 * 3840 * 3,), np.uint8)
+                rc = self._lib.vdt_decoder_next(self._h, buf.ctypes.data)
+                if rc == 0:
+                    raise StopIteration
+                if rc < 0:
+                    raise IOError(self._lib.vdt_last_error().decode())
+                w = ctypes.c_int()
+                h = ctypes.c_int()
+                fps = ctypes.c_double()
+                n = ctypes.c_int64()
+                self._lib.vdt_decoder_info(self._h, w, h, fps, n)
+                self.width, self.height = w.value, h.value
+                return (
+                    buf[: self.height * self.width * 3]
+                    .reshape(self.height, self.width, 3)
+                    .copy()
+                )
+            frame = np.empty((self.height, self.width, 3), np.uint8)
+            rc = self._lib.vdt_decoder_next(self._h, frame.ctypes.data)
+            if rc == 0:
+                raise StopIteration
+            if rc < 0:
+                raise IOError(self._lib.vdt_last_error().decode())
+            return frame
+        import cv2
+
+        ok, frame = self._cap.read()
+        if not ok:
+            raise StopIteration
+        return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+
+    def close(self):
+        if self._h is not None:
+            self._lib.vdt_decoder_close(self._h)
+            self._h = None
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# Reference repack settings: HEVC 10 Mbps, preset medium (recordDeal.so
+# strings 'b:v'/'10M'/'preset'/'medium' — SURVEY.md C2).
+HEVC_DEFAULTS = dict(codec="libx265", bitrate=10_000_000, preset="medium")
+
+
+class VideoEncoder:
+    """Encode RGB uint8 frames to a video file.
+
+    Native path supports HEVC/H.264/MJPEG into any libav-supported container
+    (including raw .h265 Annex-B when the path ends in .h265/.hevc/.265).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        fps: float = 30.0,
+        codec: str = "libx265",
+        bitrate: int = 10_000_000,
+        preset: str = "medium",
+    ):
+        self.path = path
+        self.width, self.height = width, height
+        self._lib = _load()
+        self._h = None
+        self._writer = None
+        if self._lib is not None:
+            self._h = self._lib.vdt_encoder_open(
+                path.encode(),
+                width,
+                height,
+                float(fps),
+                codec.encode(),
+                int(bitrate),
+                preset.encode(),
+            )
+            if not self._h:
+                raise IOError(
+                    f"encode open failed: {self._lib.vdt_last_error().decode()}"
+                )
+        else:
+            import cv2
+
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            self._writer = cv2.VideoWriter(path, fourcc, fps, (width, height))
+            if not self._writer.isOpened():
+                raise IOError(f"cv2 VideoWriter cannot open {path}")
+
+    def write(self, frame_rgb: np.ndarray):
+        frame_rgb = np.ascontiguousarray(frame_rgb, np.uint8)
+        if self._h is not None:
+            rc = self._lib.vdt_encoder_write(self._h, frame_rgb.ctypes.data)
+            if rc < 0:
+                raise IOError(self._lib.vdt_last_error().decode())
+        else:
+            import cv2
+
+            self._writer.write(cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR))
+
+    def close(self):
+        if self._h is not None:
+            self._lib.vdt_encoder_close(self._h)
+            self._h = None
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class Packet:
+    __slots__ = ("data", "pts", "dts", "duration", "is_key")
+
+    def __init__(self, data: bytes, pts: int, dts: int, duration: int, is_key: bool):
+        self.data = data
+        self.pts = pts
+        self.dts = dts
+        self.duration = duration
+        self.is_key = is_key
+
+
+class PacketDemuxer:
+    """Compressed-packet iterator (the readPacket.ReadPacket analog)."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native av layer unavailable: {_load_error}")
+        self._lib = lib
+        self._h = lib.vdt_demux_open(path.encode())
+        if not self._h:
+            raise IOError(f"demux open failed: {lib.vdt_last_error().decode()}")
+        num = ctypes.c_int()
+        den = ctypes.c_int()
+        lib.vdt_demux_time_base(self._h, num, den)
+        self.time_base = (num.value, den.value)
+
+    def __iter__(self) -> Iterator[Packet]:
+        return self
+
+    def __next__(self) -> Packet:
+        data = ctypes.POINTER(ctypes.c_uint8)()
+        size = ctypes.c_int()
+        pts = ctypes.c_int64()
+        dts = ctypes.c_int64()
+        dur = ctypes.c_int64()
+        key = ctypes.c_int()
+        rc = self._lib.vdt_demux_next(self._h, data, size, pts, dts, dur, key)
+        if rc == 0:
+            raise StopIteration
+        if rc < 0:
+            raise IOError(self._lib.vdt_last_error().decode())
+        buf = ctypes.string_at(data, size.value)
+        return Packet(buf, pts.value, dts.value, dur.value, bool(key.value))
+
+    def close(self):
+        if self._h:
+            self._lib.vdt_demux_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def read_packets(self) -> List[Packet]:
+        return list(self)
