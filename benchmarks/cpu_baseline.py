@@ -1,0 +1,71 @@
+"""Reference-equivalent CPU path benchmark (the vs_baseline denominator).
+
+The reference publishes no numbers (BASELINE.md), so we establish the
+baseline by measuring its processing structure on CPU: per-batch host
+letterbox (cv2), float32 detector forward on the CPU backend, host-side
+numpy NMS, sequential cv2 mosaic per box — the same stage layout as
+combine_detect.py's hot loop. Run standalone:
+
+    JAX_PLATFORMS=cpu python benchmarks/cpu_baseline.py [n_frames]
+
+Prints one JSON line {"cpu_fps": ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(n_frames: int = 4) -> float:
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from video_desensitization_tpu.models.configs import cfg_re50
+    from video_desensitization_tpu.models.retinaface import RetinaFace
+    from video_desensitization_tpu.ops.anchors import generate_anchors
+    from video_desensitization_tpu.ops.image import letterbox_host
+    from video_desensitization_tpu.ops.mosaic import mosaic_host_reference
+
+    rng = np.random.default_rng(0)
+    model = RetinaFace(cfg=cfg_re50, mode="eval", dtype=jnp.float32)
+    dummy = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, dummy)
+    anchors = generate_anchors((640, 640))
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    # warmup/compile
+    jax.block_until_ready(fwd(variables, dummy))
+
+    frames = [
+        rng.integers(0, 255, (1080, 1920, 3), dtype=np.uint8) for _ in range(n_frames)
+    ]
+    t0 = time.time()
+    for f in frames:
+        x = letterbox_host(f, (640, 640)).astype(np.float32)
+        x -= np.array((104, 117, 123), np.float32)
+        loc, conf, landm = jax.block_until_ready(
+            fwd(variables, jnp.asarray(x[None]))
+        )
+        # host postprocess (numpy decode + threshold; random weights -> few dets)
+        loc = np.asarray(loc)[0]
+        conf = np.asarray(conf)[0]
+        centers = anchors[:, :2] + loc[:, :2] * 0.1 * anchors[:, 2:]
+        wh = anchors[:, 2:] * np.exp(loc[:, 2:] * 0.2)
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1)
+        keep = conf[:, 1] >= 0.5
+        boxes = (boxes[keep] * [1920, 1080, 1920, 1080]).astype(int)[:8]
+        mosaic_host_reference(f, boxes.tolist())
+    dt = time.time() - t0
+    return n_frames / dt
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    print(json.dumps({"cpu_fps": main(n)}))
