@@ -1,0 +1,101 @@
+"""Headline benchmark: end-to-end 1080p desensitization frames/sec on one chip.
+
+Measures the full per-frame work of the reference's hot loop
+(combine_detect.py:183-277) — letterbox, RetinaFace-ResNet50 face forward,
+YOLOv8 plate forward, box decode, padded NMS, inverse letterbox, and the
+reference-exact mosaic — through the link-aware tiered pipeline
+(video_desensitization_tpu/pipeline/throughput.py): host cv2 letterbox,
+ONE fused bf16 device program for both detectors, boxes-only readback,
+host mosaic, with double-buffered batches so transfer overlaps compute.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+vs_baseline divides by the reference-structure CPU-path measurement cached in
+benchmarks/cpu_baseline.json (re-derive with benchmarks/cpu_baseline.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vdt_jax_cache")
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from video_desensitization_tpu.detect.face import Retinaface
+    from video_desensitization_tpu.detect.plate import PlateDetector
+    from video_desensitization_tpu.pipeline.throughput import TieredPipeline
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "12"))
+
+    face = Retinaface(
+        model_path=None,
+        backbone="resnet50",
+        input_shape=[640, 640, 3],
+        confidence=0.5,
+        nms_iou=0.4,
+        max_detections=64,
+        dtype=jnp.bfloat16,
+    )
+    plate = PlateDetector(
+        model_path=None,
+        variant="n",
+        confidence=0.5,
+        input_shape=(640, 640),
+        max_detections=32,
+        dtype=jnp.bfloat16,
+    )
+    pipe = TieredPipeline(face, plate, mosaic_level=8)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (batch, 1080, 1920, 3), dtype=np.uint8)
+
+    # Warmup: compile + two steady-state iterations.
+    pipe.process_batch(frames)
+    pipe.process_batch(frames)
+
+    t0 = time.perf_counter()
+    n_frames = 0
+    for res in pipe.process_stream(frames for _ in range(n_batches)):
+        n_frames += res.frames.shape[0]
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks",
+        "cpu_baseline.json",
+    )
+    try:
+        with open(baseline_path) as f:
+            cpu_fps = float(json.load(f)["cpu_fps"])
+    except (OSError, KeyError, ValueError):
+        cpu_fps = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_1080p_desensitization_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / cpu_fps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,10 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import jax
+
+# This environment may pre-import jax with a TPU plugin before the env var is
+# read; force the CPU backend through config (same trick as tests/conftest.py).
+jax.config.update("jax_platforms", "cpu")
+
 
 def main(n_frames: int = 4) -> float:
     import cv2
-    import jax
     import jax.numpy as jnp
 
     from video_desensitization_tpu.models.configs import cfg_re50

@@ -1,0 +1,100 @@
+"""Tests for the link-aware tiered pipeline (pipeline/throughput.py).
+
+The tiered path must agree with the device-native programs it re-plumbs:
+host letterbox feeding the same fused detectors, boxes-only readback, and
+the reference-exact host mosaic.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from video_desensitization_tpu.detect.face import Retinaface
+from video_desensitization_tpu.detect.plate import PlateDetector
+from video_desensitization_tpu.ops.mosaic import mosaic_host_reference
+from video_desensitization_tpu.pipeline.throughput import TieredPipeline, letterbox_u8
+
+
+@pytest.fixture(scope="module")
+def face():
+    return Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.01,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def plate():
+    return PlateDetector(
+        model_path=None,
+        variant="n",
+        confidence=0.01,
+        input_shape=(128, 128),
+        max_detections=4,
+        dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def pipe(face, plate):
+    return TieredPipeline(face, plate, mosaic_level=8)
+
+
+def test_letterbox_u8_geometry():
+    frame = np.full((30, 60, 3), 200, np.uint8)
+    lb = letterbox_u8(frame, (128, 128))
+    # scale = 128/60; nh = int(30*scale) = 64, nw = 128; top = 32.
+    assert lb.shape == (128, 128, 3)
+    assert (lb[:32] == 128).all() and (lb[96:] == 128).all()
+    assert (lb[32:96] == 200).all()
+
+
+def test_plate_letterboxed_matches_native_on_square(plate):
+    """On an already-square input the two plate programs see identical
+    pixels (no-op letterbox, no repad) and must agree exactly."""
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (2, 128, 128, 3), dtype=np.uint8)
+    dets_a, keep_a = map(np.asarray, plate.detect_padded(frames))
+    shapes = np.full((2, 2), 128.0, np.float32)
+    dets_b, keep_b = map(
+        np.asarray,
+        plate._detect_letterboxed_program(
+            plate.variables, jnp.asarray(frames), jnp.asarray(shapes)
+        ),
+    )
+    np.testing.assert_array_equal(keep_a, keep_b)
+    np.testing.assert_allclose(dets_a[keep_a], dets_b[keep_b], rtol=1e-4, atol=1e-3)
+
+
+def test_stream_equals_batch(pipe):
+    rng = np.random.default_rng(0)
+    batches = [
+        rng.integers(0, 255, (2, 96, 160, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    streamed = list(pipe.process_stream(iter(batches), depth=2))
+    for frames, res_s in zip(batches, streamed):
+        res_b = pipe.process_batch(frames)
+        np.testing.assert_array_equal(res_s.frames, res_b.frames)
+        assert res_s.face_boxes == res_b.face_boxes
+        assert res_s.plate_boxes == res_b.plate_boxes
+
+
+def test_mosaic_matches_reference_kernel(pipe):
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (2, 96, 160, 3), dtype=np.uint8)
+    res = pipe.process_batch(frames)
+    for i in range(frames.shape[0]):
+        merged = [
+            [int(v) for v in b]
+            for b in res.face_boxes[i] + res.plate_boxes[i]
+        ]
+        expect = mosaic_host_reference(frames[i], merged, 8)
+        np.testing.assert_array_equal(res.frames[i], expect)
+        if not merged:
+            np.testing.assert_array_equal(res.frames[i], frames[i])

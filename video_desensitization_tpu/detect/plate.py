@@ -87,6 +87,61 @@ class PlateDetector:
         out = jnp.where(keep[..., None], out, jnp.zeros_like(out))
         return out, keep
 
+    def _detect_letterboxed_program(self, variables, lb_frames_u8, image_shapes):
+        """Detect on frames already letterboxed to ``input_hw`` on the host.
+
+        The link-optimal tiered pipeline (pipeline/throughput.py) letterboxes
+        on the host (8.4x fewer bytes over the host->device link for 1080p)
+        and shares ONE gray-128 canvas between both detectors. Here the pad
+        region is re-filled with YOLO's 114 gray (geometry derived per image
+        from ``image_shapes``), and boxes are mapped back to original pixels
+        by the dynamic inverse letterbox transform.
+
+        lb_frames_u8: (B, h, w, 3) uint8, already letterboxed.
+        image_shapes: (B, 2) float32 [orig_h, orig_w].
+        """
+        h, w = self.input_hw
+        oh = image_shapes[:, 0:1]  # (B, 1)
+        ow = image_shapes[:, 1:2]
+        scale = jnp.minimum(w / ow, h / oh)  # (B, 1)
+        nw = jnp.floor(ow * scale)
+        nh = jnp.floor(oh * scale)
+        top = jnp.floor((h - nh) / 2.0)
+        left = jnp.floor((w - nw) / 2.0)
+
+        ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]  # (1, h, 1)
+        xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]  # (1, 1, w)
+        inside = (
+            (ys >= top[:, :, None])
+            & (ys < (top + nh)[:, :, None])
+            & (xs >= left[:, :, None])
+            & (xs < (left + nw)[:, :, None])
+        )  # (B, h, w)
+        x = jnp.where(
+            inside[..., None], lb_frames_u8, jnp.uint8(int(YOLO_PAD_VALUE))
+        )
+        x = (x / 255.0).astype(self.net.dtype)
+        boxes, probs = self.net.apply(variables, x, train=False)
+        score = jnp.max(probs, axis=-1, keepdims=True)
+        cls = jnp.argmax(probs, axis=-1, keepdims=True).astype(jnp.float32)
+        dets = jnp.concatenate([boxes, score, cls], axis=-1)
+        dets, keep = batched_nms_padded(
+            dets, self.confidence, self.nms_iou, self.max_detections
+        )
+        gain_x = (ow / jnp.maximum(nw, 1.0))[:, :, None]  # (B, 1, 1)
+        gain_y = (oh / jnp.maximum(nh, 1.0))[:, :, None]
+        x1 = jnp.clip((dets[..., 0:1] - left[:, :, None]) * gain_x, 0, ow[:, :, None])
+        y1 = jnp.clip((dets[..., 1:2] - top[:, :, None]) * gain_y, 0, oh[:, :, None])
+        x2 = jnp.clip((dets[..., 2:3] - left[:, :, None]) * gain_x, 0, ow[:, :, None])
+        y2 = jnp.clip((dets[..., 3:4] - top[:, :, None]) * gain_y, 0, oh[:, :, None])
+        out = jnp.concatenate(
+            [x1[..., 0:1], y1[..., 0:1], x2[..., 0:1], y2[..., 0:1],
+             dets[..., 4:5], dets[..., 5:6]],
+            axis=-1,
+        )
+        out = jnp.where(keep[..., None], out, jnp.zeros_like(out))
+        return out, keep
+
     def detect_padded(self, frames_u8: np.ndarray):
         b, h, w, _ = frames_u8.shape
         shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))

@@ -1,0 +1,167 @@
+"""Link-aware tiered pipeline: host letterbox -> device detect -> host mosaic.
+
+The fully-fused engine (pipeline/engine.py) keeps raw frames HBM-resident and
+runs detection + mosaic in one device program — optimal when host<->device
+bandwidth is plentiful. On hosts where the link is the bottleneck (PCIe-
+constrained or tunneled chips), moving raw 1080p frames both ways caps
+throughput far below the chip's compute rate. This pipeline splits the work by
+bytes-moved instead:
+
+  host   : decode + letterbox to the 640x640 detector input (8.4x fewer bytes
+           per 1080p frame over the link), threadpooled cv2
+  device : ONE fused program = both detector forwards + decode + NMS +
+           dynamic inverse-letterbox (face: Retinaface._detect_program on the
+           pre-letterboxed canvas; plate: PlateDetector._detect_letterboxed_
+           program repadding the shared canvas to YOLO gray)
+  d->h   : padded pixel boxes + masks only (KBs per batch)
+  host   : exact reference mosaic kernel per box (ops.mosaic.mosaic_host_
+           reference — bitwise-identical blurred regions, cv2, ~0.1 ms/box)
+
+Batches are double-buffered: batch N+1's letterbox and host->device transfer
+overlap batch N's device compute (JAX dispatch is async; results are only
+fetched one batch behind).
+
+The reference's equivalent stage layout is the threaded hot loop at
+combine_detect.py:183-277; this replaces its per-stage host/GPU round trips
+with one async device program per batch and moves 120x fewer bytes out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_desensitization_tpu.detect.face import Retinaface
+from video_desensitization_tpu.detect.plate import PlateDetector
+from video_desensitization_tpu.ops.mosaic import mosaic_host_reference
+
+
+@dataclasses.dataclass
+class TieredResult:
+    frames: np.ndarray  # blurred uint8 (B, H, W, 3), host-mosaicked
+    face_boxes: List[List[List[float]]]
+    plate_boxes: List[List[List[float]]]
+    num_faces: int
+    num_plates: int
+
+
+def letterbox_u8(frame: np.ndarray, dst_hw: Tuple[int, int]) -> np.ndarray:
+    """Reference-geometry letterbox onto a uint8 gray-128 canvas (cv2)."""
+    import cv2
+
+    from video_desensitization_tpu.ops.image import letterbox_params
+
+    ih, iw = frame.shape[:2]
+    h, w = dst_hw
+    nh, nw, top, left = letterbox_params((ih, iw), (h, w))
+    canvas = np.full((h, w, 3), 128, np.uint8)
+    canvas[top : top + nh, left : left + nw] = cv2.resize(frame, (nw, nh))
+    return canvas
+
+
+class TieredPipeline:
+    def __init__(
+        self,
+        face_detector: Retinaface,
+        plate_detector: Optional[PlateDetector] = None,
+        mosaic_level: int = 8,
+        letterbox_workers: int = 6,
+    ):
+        self.face = face_detector
+        self.plate = plate_detector
+        self.mosaic_level = mosaic_level
+        self.input_hw = face_detector.input_hw
+        self._pool = ThreadPoolExecutor(max_workers=letterbox_workers)
+        self._program = jax.jit(self._build_program())
+
+    def _build_program(self):
+        face = self.face
+        plate = self.plate
+
+        def program(face_vars, plate_vars, lb_frames_u8, image_shapes):
+            _, face_px, face_keep = face._detect_program(
+                face_vars, lb_frames_u8, image_shapes
+            )
+            if plate is not None:
+                plate_px, plate_keep = plate._detect_letterboxed_program(
+                    plate_vars, lb_frames_u8, image_shapes
+                )
+            else:
+                plate_px = jnp.zeros((lb_frames_u8.shape[0], 1, 6), jnp.float32)
+                plate_keep = jnp.zeros((lb_frames_u8.shape[0], 1), bool)
+            return face_px, face_keep, plate_px, plate_keep
+
+        return program
+
+    # -- stages ---------------------------------------------------------------
+    def letterbox_batch(self, frames: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 -> (B, h, w, 3) uint8, threadpooled."""
+        return np.stack(
+            list(self._pool.map(lambda f: letterbox_u8(f, self.input_hw), frames))
+        )
+
+    def dispatch(self, lb_frames: np.ndarray, image_shapes: np.ndarray):
+        """Async: enqueue transfer + device program; returns device futures."""
+        plate_vars = self.plate.variables if self.plate is not None else None
+        return self._program(
+            self.face.variables,
+            plate_vars,
+            jnp.asarray(lb_frames),
+            jnp.asarray(image_shapes),
+        )
+
+    def finalize(self, frames: np.ndarray, device_out) -> TieredResult:
+        """Fetch detections and apply the exact reference mosaic on host."""
+        face_px, face_keep, plate_px, plate_keep = map(np.asarray, device_out)
+        b = frames.shape[0]
+        out = np.empty_like(frames)
+        face_boxes, plate_boxes = [], []
+        for i in range(b):
+            fb = face_px[i][face_keep[i]][:, :4]
+            pb = plate_px[i][plate_keep[i]][:, :4]
+            face_boxes.append(fb.tolist())
+            plate_boxes.append(pb.tolist())
+            merged = np.concatenate([fb, pb], axis=0).astype(np.int64).tolist()
+            out[i] = mosaic_host_reference(frames[i], merged, self.mosaic_level)
+        return TieredResult(
+            frames=out,
+            face_boxes=face_boxes,
+            plate_boxes=plate_boxes,
+            num_faces=int(face_keep.sum()),
+            num_plates=int(plate_keep.sum()),
+        )
+
+    # -- synchronous convenience ---------------------------------------------
+    def process_batch(self, frames: np.ndarray) -> TieredResult:
+        b, h, w, _ = frames.shape
+        shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+        lb = self.letterbox_batch(frames)
+        return self.finalize(frames, self.dispatch(lb, shapes))
+
+    # -- double-buffered stream ----------------------------------------------
+    def process_stream(
+        self, batches: Iterable[np.ndarray], depth: int = 2
+    ) -> Iterator[TieredResult]:
+        """Pipeline an iterable of uint8 NHWC batches.
+
+        Keeps up to ``depth`` batches in flight: letterbox + transfer +
+        device compute of later batches overlap the fetch + host mosaic of
+        earlier ones.
+        """
+        inflight: List[Tuple[np.ndarray, object]] = []
+        for frames in batches:
+            b, h, w, _ = frames.shape
+            shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+            lb = self.letterbox_batch(frames)
+            inflight.append((frames, self.dispatch(lb, shapes)))
+            if len(inflight) > depth:
+                done_frames, fut = inflight.pop(0)
+                yield self.finalize(done_frames, fut)
+        for done_frames, fut in inflight:
+            yield self.finalize(done_frames, fut)
