@@ -38,8 +38,8 @@ def main() -> None:
     from video_desensitization_tpu.detect.plate import PlateDetector
     from video_desensitization_tpu.pipeline.throughput import TieredPipeline
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    n_batches = int(os.environ.get("BENCH_BATCHES", "12"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "10"))
 
     face = Retinaface(
         model_path=None,

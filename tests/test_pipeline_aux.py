@@ -1,0 +1,53 @@
+"""Tests for pipeline auxiliaries: resume manifest, engine config switch."""
+
+import json
+import os
+
+import numpy as np
+
+from video_desensitization_tpu.api.config import PipelineConfig, load_config
+from video_desensitization_tpu.pipeline.video_pipeline import JobManifest
+
+
+def test_manifest_roundtrip(tmp_path):
+    out = str(tmp_path)
+    m = JobManifest(out)
+    assert not m.is_done("/x/topic_rear.h265")
+
+    produced = tmp_path / "topic_rear_processed.h265"
+    produced.write_bytes(b"x")
+    m.mark("/x/topic_rear.h265", str(produced), frames=10, faces=2, plates=1)
+    assert m.is_done("/x/topic_rear.h265")
+
+    # Reload from disk (fresh process).
+    m2 = JobManifest(out)
+    assert m2.is_done("/x/topic_rear.h265")
+    assert m2.done["topic_rear.h265"]["frames"] == 10
+
+    # Output deleted -> not done (forces reprocessing).
+    produced.unlink()
+    m3 = JobManifest(out)
+    assert not m3.is_done("/x/topic_rear.h265")
+
+
+def test_manifest_corrupt_file_ignored(tmp_path):
+    (tmp_path / JobManifest.NAME).write_text("{not json")
+    m = JobManifest(str(tmp_path))
+    assert m.done == {}
+
+
+def test_config_engine_and_resume_keys(tmp_path):
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        "[PATHS]\nmodel_path=a\nmodel_weights=b\nrecord_dir=c\n"
+        "output_h265_dir=d\noutput_videos_dir=e\ntemp_directory_base=f\n"
+        "record_output_dir=g\n"
+        "[TPU]\nengine=fused\nresume=false\n"
+    )
+    cfg = load_config(str(ini))
+    assert cfg.engine == "fused"
+    assert cfg.resume is False
+
+    # Defaults
+    assert PipelineConfig().engine == "tiered"
+    assert PipelineConfig().resume is True

@@ -52,6 +52,11 @@ class PipelineConfig:
     nms_iou: float = 0.4
     plate_confidence: float = 0.5
     output_fps: float = 60.0
+    # "fused": detection + mosaic in one device program on full frames
+    # (bandwidth-rich hosts); "tiered": host letterbox + boxes-only readback +
+    # host mosaic (link-constrained hosts). See pipeline/throughput.py.
+    engine: str = "tiered"
+    resume: bool = True  # skip already-completed videos via output manifest
 
 
 def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig:
@@ -90,4 +95,6 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
         cfg.nms_iou = t.getfloat("nms_iou", cfg.nms_iou)
         cfg.plate_confidence = t.getfloat("plate_confidence", cfg.plate_confidence)
         cfg.output_fps = t.getfloat("output_fps", cfg.output_fps)
+        cfg.engine = t.get("engine", cfg.engine)
+        cfg.resume = t.getboolean("resume", cfg.resume)
     return cfg

@@ -26,6 +26,7 @@ def build_engine(cfg, with_plates: bool = True):
     from video_desensitization_tpu.detect.plate import PlateDetector
     from video_desensitization_tpu.parallel.mesh import make_mesh
     from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+    from video_desensitization_tpu.pipeline.throughput import TieredPipeline
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
     mesh = None
@@ -52,6 +53,8 @@ def build_engine(cfg, with_plates: bool = True):
             input_shape=(cfg.input_size, cfg.input_size),
             dtype=dtype,
         )
+    if cfg.engine == "tiered":
+        return TieredPipeline(face, plate, mosaic_level=cfg.mosaic_level)
     return DesensitizationEngine(
         face, plate, mosaic_level=cfg.mosaic_level, mesh=mesh
     )

@@ -89,10 +89,13 @@ class Retinaface:
     def _load(self, model_path: Optional[str]) -> Dict:
         if model_path is None:
             # Random init (benchmark / smoke-test mode; real use converts a
-            # checkpoint offline via models.convert).
+            # checkpoint offline via models.convert). One jitted program and
+            # device-resident output: unjitted Flax init dispatches every op
+            # separately (hundreds of host round trips), and a numpy copy
+            # would force the whole tree back over the link only to be
+            # re-uploaded on the first detect call.
             dummy = jnp.zeros((1, *self.input_hw, 3), jnp.float32)
-            variables = self.net.init({"params": jax.random.PRNGKey(0)}, dummy)
-            return jax.tree.map(np.asarray, dict(variables))
+            return dict(jax.jit(self.net.init)({"params": jax.random.PRNGKey(0)}, dummy))
         if str(model_path).endswith((".pth", ".pt")):
             return convert_retinaface_state_dict(load_torch_checkpoint(model_path))
         return load_variables(model_path)

@@ -54,9 +54,9 @@ class PlateDetector:
 
     def _load(self, model_path: Optional[str]) -> Dict:
         if model_path is None:
+            # Jitted + device-resident for the same reason as face.py:_load.
             dummy = jnp.zeros((1, *self.input_hw, 3), jnp.float32)
-            variables = self.net.init({"params": jax.random.PRNGKey(0)}, dummy)
-            return jax.tree.map(np.asarray, dict(variables))
+            return dict(jax.jit(self.net.init)({"params": jax.random.PRNGKey(0)}, dummy))
         if str(model_path).endswith((".pt", ".pth")):
             return convert_yolo_state_dict(load_torch_checkpoint(model_path))
         return load_variables(model_path)

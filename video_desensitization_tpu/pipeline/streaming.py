@@ -56,8 +56,11 @@ def process_video_stream(
     out_fps = fps if fps else (dec.fps or 30.0)
     if codec is None:
         ext = output_path.lower().rsplit(".", 1)[-1]
+        # mp4/mov default to MPEG-4 part 2 — the reference's cv2 'mp4v'
+        # writer (combine_detect.py:501-508) and ~8x cheaper than libx264 on
+        # a single host core; pass codec="libx264" explicitly for H.264.
         codec = {"h265": "libx265", "hevc": "libx265", "265": "libx265",
-                 "avi": "mjpeg"}.get(ext, "libx264")
+                 "avi": "mjpeg"}.get(ext, "mpeg4")
 
     in_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
     out_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)

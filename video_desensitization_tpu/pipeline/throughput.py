@@ -65,6 +65,23 @@ def letterbox_u8(frame: np.ndarray, dst_hw: Tuple[int, int]) -> np.ndarray:
     return canvas
 
 
+def resize_content_u8(frame: np.ndarray, dst_hw: Tuple[int, int]) -> np.ndarray:
+    """Resize to letterbox content size WITHOUT the gray canvas (cv2).
+
+    For a 16:9 source and a square detector input, the gray pad is ~44% of
+    the canvas bytes; sending only the (nh, nw) content and padding on device
+    cuts host->device traffic accordingly. The device pad (uint8 128,
+    centered) reproduces ``letterbox_u8`` exactly.
+    """
+    import cv2
+
+    from video_desensitization_tpu.ops.image import letterbox_params
+
+    ih, iw = frame.shape[:2]
+    nh, nw, _, _ = letterbox_params((ih, iw), dst_hw)
+    return cv2.resize(frame, (nw, nh))
+
+
 class TieredPipeline:
     def __init__(
         self,
@@ -83,8 +100,18 @@ class TieredPipeline:
     def _build_program(self):
         face = self.face
         plate = self.plate
+        h, w = self.input_hw
 
-        def program(face_vars, plate_vars, lb_frames_u8, image_shapes):
+        def program(face_vars, plate_vars, content_u8, image_shapes):
+            # Rebuild the gray-128 letterbox canvas on device: the host sends
+            # only the resized content (pad geometry is static under jit).
+            _, ch, cw, _ = content_u8.shape
+            top, left = (h - ch) // 2, (w - cw) // 2
+            lb_frames_u8 = jnp.pad(
+                content_u8,
+                ((0, 0), (top, h - ch - top), (left, w - cw - left), (0, 0)),
+                constant_values=jnp.uint8(128),
+            )
             _, face_px, face_keep = face._detect_program(
                 face_vars, lb_frames_u8, image_shapes
             )
@@ -101,9 +128,17 @@ class TieredPipeline:
 
     # -- stages ---------------------------------------------------------------
     def letterbox_batch(self, frames: np.ndarray) -> np.ndarray:
-        """(B, H, W, 3) uint8 -> (B, h, w, 3) uint8, threadpooled."""
+        """(B, H, W, 3) uint8 -> (B, nh, nw, 3) uint8 content, threadpooled.
+
+        Only the letterbox *content* is produced; the device program pads it
+        to the square canvas (see _build_program).
+        """
         return np.stack(
-            list(self._pool.map(lambda f: letterbox_u8(f, self.input_hw), frames))
+            list(
+                self._pool.map(
+                    lambda f: resize_content_u8(f, self.input_hw), frames
+                )
+            )
         )
 
     def dispatch(self, lb_frames: np.ndarray, image_shapes: np.ndarray):
@@ -120,15 +155,24 @@ class TieredPipeline:
         """Fetch detections and apply the exact reference mosaic on host."""
         face_px, face_keep, plate_px, plate_keep = map(np.asarray, device_out)
         b = frames.shape[0]
-        out = np.empty_like(frames)
-        face_boxes, plate_boxes = [], []
+        face_boxes, plate_boxes, merged_all = [], [], []
         for i in range(b):
             fb = face_px[i][face_keep[i]][:, :4]
             pb = plate_px[i][plate_keep[i]][:, :4]
             face_boxes.append(fb.tolist())
             plate_boxes.append(pb.tolist())
-            merged = np.concatenate([fb, pb], axis=0).astype(np.int64).tolist()
-            out[i] = mosaic_host_reference(frames[i], merged, self.mosaic_level)
+            merged_all.append(np.concatenate([fb, pb], axis=0).astype(np.int64).tolist())
+        # Frames are independent; cv2 releases the GIL, so mosaic in parallel.
+        out = np.stack(
+            list(
+                self._pool.map(
+                    lambda args: mosaic_host_reference(
+                        args[0], args[1], self.mosaic_level
+                    ),
+                    zip(frames, merged_all),
+                )
+            )
+        )
         return TieredResult(
             frames=out,
             face_boxes=face_boxes,

@@ -4,11 +4,12 @@ copy_unprocessed_video, combine_detect.py:597-783)."""
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 from video_desensitization_tpu.api.config import PipelineConfig
 from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
@@ -74,6 +75,40 @@ def process_mf4(file_path: str, output_dir: str) -> bool:
     return copy_unprocessed_video(file_path, output_dir)
 
 
+class JobManifest:
+    """Per-video resume state for a record job.
+
+    The reference has no job-level checkpointing — a crash reprocesses
+    everything (SURVEY.md §5 "no resume of a half-processed video"). Here each
+    completed stream is recorded in ``.vdt_manifest.json`` inside the output
+    videos directory; on rerun, completed entries whose outputs still exist
+    are skipped.
+    """
+
+    NAME = ".vdt_manifest.json"
+
+    def __init__(self, output_dir: str):
+        self.path = os.path.join(output_dir, self.NAME)
+        self.done: Dict[str, dict] = {}
+        if os.path.exists(self.path):
+            try:
+                with open(self.path) as f:
+                    self.done = json.load(f)
+            except (OSError, ValueError):
+                self.done = {}
+
+    def is_done(self, src_path: str) -> bool:
+        entry = self.done.get(os.path.basename(src_path))
+        return bool(entry) and os.path.exists(entry.get("output", ""))
+
+    def mark(self, src_path: str, output_path: str, **stats) -> None:
+        self.done[os.path.basename(src_path)] = {"output": output_path, **stats}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.done, f, indent=1)
+        os.replace(tmp, self.path)
+
+
 @dataclass
 class RecordJobStats:
     videos_processed: int = 0
@@ -98,6 +133,7 @@ def process_record_job(
     read_record2h265_all(config.record_dir, config.output_h265_dir)
     hevc_dir = os.path.join(config.output_h265_dir, HEVC_SUBDIR)
     os.makedirs(config.output_videos_dir, exist_ok=True)
+    manifest = JobManifest(config.output_videos_dir) if config.resume else None
 
     for root, _dirs, files in os.walk(hevc_dir):
         for fname in sorted(files):
@@ -108,6 +144,10 @@ def process_record_job(
                     stats.videos_copied += 1
                 continue
             if ext in config.video_formats:
+                if manifest is not None and manifest.is_done(fpath):
+                    log.info("resume: skipping completed %s", fname)
+                    stats.videos_processed += 1
+                    continue
                 res = process_single_video(
                     fpath,
                     config.output_videos_dir,
@@ -120,6 +160,17 @@ def process_record_job(
                     stats.frames += res.frames
                     stats.faces += res.faces
                     stats.plates += res.plates
+                    if manifest is not None:
+                        name, e = os.path.splitext(fname)
+                        manifest.mark(
+                            fpath,
+                            os.path.join(
+                                config.output_videos_dir, f"{name}_processed{e}"
+                            ),
+                            frames=res.frames,
+                            faces=res.faces,
+                            plates=res.plates,
+                        )
                 else:
                     stats.videos_failed += 1
             elif config.copy_unprocessed_videos:

@@ -84,12 +84,14 @@ def create_video(
     h, w = first.shape[:2]
     ext = os.path.splitext(output_path)[1].lower()
     if codec is None:
+        # mp4v parity with the reference's cv2.VideoWriter codec table
+        # (combine_detect.py:501-508); see streaming.py for the rationale.
         codec = {
             ".h265": "libx265",
             ".hevc": "libx265",
             ".265": "libx265",
             ".avi": "mjpeg",
-        }.get(ext, "libx264")
+        }.get(ext, "mpeg4")
     try:
         enc = VideoEncoder(output_path, w, h, fps=fps, codec=codec)
     except IOError:

@@ -240,6 +240,7 @@ extern "C" VdtEncoder *vdt_encoder_open(const char *path, int w, int h,
     e->codec = avcodec_alloc_context3(enc);
     e->codec->width = w;
     e->codec->height = h;
+    e->codec->thread_count = 0;  // auto (x264/x265 default to 1 otherwise)
     AVRational fr = av_d2q(fps, 100000);
     e->codec->time_base = av_inv_q(fr);
     e->codec->framerate = fr;
