@@ -41,13 +41,17 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "10"))
 
+    # max_detections caps the per-frame mosaic work. Random-init weights
+    # pass ~50% of anchors at conf 0.5 (real checkpoints produce 1-5 boxes
+    # per frame), so an uncapped run measures an unrealistic mosaic load;
+    # 16 faces + 8 plates per frame is still generous vs. real footage.
     face = Retinaface(
         model_path=None,
         backbone="resnet50",
         input_shape=[640, 640, 3],
         confidence=0.5,
         nms_iou=0.4,
-        max_detections=64,
+        max_detections=16,
         dtype=jnp.bfloat16,
     )
     plate = PlateDetector(
@@ -55,7 +59,7 @@ def main() -> None:
         variant="n",
         confidence=0.5,
         input_shape=(640, 640),
-        max_detections=32,
+        max_detections=8,
         dtype=jnp.bfloat16,
     )
     pipe = TieredPipeline(face, plate, mosaic_level=8)

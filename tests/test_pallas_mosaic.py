@@ -1,0 +1,77 @@
+"""Pallas mosaic kernel parity (interpret mode — no TPU required).
+
+The kernel must be bit-identical to the reference cv2 mosaic
+(ops.mosaic.mosaic_host_reference) for every geometry: short/tall/thin
+boxes, clipped boxes, overlapping boxes, full-frame boxes, and invalid
+(masked) entries.
+"""
+
+import numpy as np
+import pytest
+
+from video_desensitization_tpu.ops.mosaic import mosaic_host_reference
+from video_desensitization_tpu.ops.pallas_mosaic import (
+    PAD,
+    mosaic_boxes_batch_pallas,
+    pallas_mosaic_supported,
+)
+
+H, W = 256, 128  # W*3 = 384 = 3*128 lanes
+
+
+@pytest.fixture(scope="module")
+def frame():
+    return np.random.default_rng(0).integers(0, 255, (H, W, 3), dtype=np.uint8)
+
+
+CASES = {
+    "short": [[10, 20, 60, 90]],
+    "tall_multi_strip": [[50, 70, 100, 200]],
+    "clipped_oob": [[-5, 240, 200, 400]],
+    "overlapping": [[10, 20, 60, 90], [50, 70, 100, 200]],
+    "full_frame": [[0, 0, W, H]],
+    "thin": [[30, 30, 34, 37], [100, 10, W, 30]],
+    "many": [[i * 7, i * 11 % 200, i * 7 + 20, i * 11 % 200 + 31] for i in range(8)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_kernel_bitwise_parity(frame, name):
+    bl = CASES[name]
+    k = max(8, len(bl))
+    boxes = np.array([bl + [[0, 0, 0, 0]] * (k - len(bl))], np.int32)
+    valid = np.array([[True] * len(bl) + [False] * (k - len(bl))])
+    out = np.asarray(
+        mosaic_boxes_batch_pallas(frame[None], boxes, valid, 8, interpret=True)
+    )[0]
+    np.testing.assert_array_equal(out, mosaic_host_reference(frame, bl, 8))
+
+
+def test_no_valid_boxes_is_identity(frame):
+    boxes = np.zeros((1, 4, 4), np.int32)
+    valid = np.zeros((1, 4), bool)
+    out = np.asarray(
+        mosaic_boxes_batch_pallas(frame[None], boxes, valid, 8, interpret=True)
+    )[0]
+    np.testing.assert_array_equal(out, frame)
+
+
+def test_support_envelope():
+    assert pallas_mosaic_supported(1080, 1920, 8)
+    assert pallas_mosaic_supported(H, W, 8)
+    assert not pallas_mosaic_supported(64, W, 8)  # too short for STRIP
+    assert not pallas_mosaic_supported(H, 100, 8)  # lanes not 128-aligned
+    assert not pallas_mosaic_supported(H, W, PAD)  # level too big for PAD
+
+
+def test_unsupported_falls_back(frame):
+    """Non-128-lane widths route to the XLA path with identical results."""
+    small = frame[:, :100]
+    boxes = np.array([[[5, 5, 60, 80]]], np.int32)
+    valid = np.array([[True]])
+    out = np.asarray(
+        mosaic_boxes_batch_pallas(small[None], boxes, valid, 8, interpret=True)
+    )[0]
+    np.testing.assert_array_equal(
+        out, mosaic_host_reference(small, [[5, 5, 60, 80]], 8)
+    )

@@ -1,0 +1,89 @@
+"""Training subsystem: multibox loss behavior and the sharded train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_desensitization_tpu.models.configs import cfg_mnet
+from video_desensitization_tpu.models.retinaface import RetinaFace
+from video_desensitization_tpu.ops.anchors import generate_anchors, num_anchors
+from video_desensitization_tpu.parallel.mesh import make_mesh
+from video_desensitization_tpu.train.losses import multibox_loss
+from video_desensitization_tpu.train.step import create_train_state, make_train_step
+
+HW = (64, 64)
+
+
+def _batch(b, a, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "images": rng.normal(0, 1, (b, *HW, 3)).astype(np.float32),
+        "loc_t": rng.normal(0, 1, (b, a, 4)).astype(np.float32),
+        "landm_t": rng.normal(0, 1, (b, a, 10)).astype(np.float32),
+        "labels": rng.integers(-1, 2, (b, a)).astype(np.int32),
+    }
+
+
+def test_multibox_loss_ignores_neutral_anchors():
+    a = 16
+    rng = np.random.default_rng(1)
+    loc = jnp.asarray(rng.normal(0, 1, (2, a, 4)).astype(np.float32))
+    cls = jnp.asarray(rng.normal(0, 1, (2, a, 2)).astype(np.float32))
+    landm = jnp.asarray(rng.normal(0, 1, (2, a, 10)).astype(np.float32))
+    loc_t = jnp.zeros((2, a, 4), jnp.float32)
+    landm_t = jnp.zeros((2, a, 10), jnp.float32)
+
+    labels_all_bg = jnp.zeros((2, a), jnp.int32)
+    total, metrics = multibox_loss(loc, cls, landm, loc_t, landm_t, labels_all_bg)
+    # No positives: localization and landmark terms vanish (label -1 means
+    # "face without landmarks" and still counts positive, matching the
+    # reference objective).
+    assert float(metrics["loss_loc"]) == 0.0
+    assert float(metrics["loss_landm"]) == 0.0
+    assert np.isfinite(float(total))
+
+
+def test_train_step_decreases_loss():
+    model = RetinaFace(cfg=cfg_mnet, mode="train", dtype=jnp.float32)
+    tx = optax.sgd(1e-2)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), HW, tx)
+    anchors = generate_anchors(HW, min_sizes=cfg_mnet["min_sizes"], steps=cfg_mnet["steps"])
+    a = num_anchors(HW, steps=cfg_mnet["steps"])
+    step = make_train_step(model, tx, anchors)
+    batch = _batch(4, a)
+
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 5
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_step_matches_single_device():
+    model = RetinaFace(cfg=cfg_mnet, mode="train", dtype=jnp.float32)
+    anchors = generate_anchors(HW, min_sizes=cfg_mnet["min_sizes"], steps=cfg_mnet["steps"])
+    a = num_anchors(HW, steps=cfg_mnet["steps"])
+    batch = _batch(8, a)
+
+    tx1 = optax.sgd(1e-2)
+    s1, tx1 = create_train_state(model, jax.random.PRNGKey(0), HW, tx1)
+    step1 = make_train_step(model, tx1, anchors)
+    s1, m1 = step1(s1, batch)
+
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    tx2 = optax.sgd(1e-2)
+    s2, tx2 = create_train_state(model, jax.random.PRNGKey(0), HW, tx2, mesh=mesh)
+    step2 = make_train_step(model, tx2, anchors, mesh=mesh)
+    s2, m2 = step2(s2, batch)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-5, atol=1e-5
+    )
+    l1 = jax.tree.leaves(s1.params)[0]
+    l2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,307 @@
+"""Pallas TPU kernel for per-ROI mosaic (pixelation) on NHWC uint8 frames.
+
+The XLA formulation (ops/mosaic.py) composes per-box index remaps over the
+full (H, W) frame with a ``lax.scan`` — O(K * H * W) memory traffic per
+frame even when boxes cover a tiny fraction of it. This kernel does
+box-area-proportional work instead: one grid step per frame, frames stay in
+HBM, and each box rewrites only its own rows through small VMEM windows
+(DMA in -> two same-shape gathers -> masked merge -> DMA out).
+
+Parity: bit-identical to the reference's sequential cv2 INTER_NEAREST
+down+upscale (combine_detect.py:138-161). The per-extent composed source
+offsets come from the same float64-exact table as ops/mosaic.py
+(``composed_mosaic_table``); XLA expands them into absolute per-row/per-
+column source maps outside the kernel. Two structural facts make the
+in-place strip scheme exact:
+
+* the composed source offset is **monotone-floor**: comp[t] <= t for every
+  extent (cv2's resize uses floor rounding in both directions; verified
+  numerically for all extents to 2048 and several levels). Sources never
+  come from below/right, so processing a box's strips **bottom-up** reads
+  only rows this box has not yet rewritten, and the column gather within a
+  strip reads the pre-write window;
+* comp[t] >= t - (2*level + 1), so a window with ``PAD`` rows of lookback
+  above each output strip contains every source row (the wrapper falls back
+  to the XLA path when 2*level + 2 > PAD).
+
+Sequential box order over the in-place frame reproduces the reference's
+sequential per-box application, including overlapping boxes.
+
+Layout (pallas_guide.md): the channel-interleaved frame is treated as
+(H, W*3) uint8 rows — W*3 is a lane multiple of 128 for common widths
+(1920*3 = 45*128). Mosaic's ``dynamic_gather`` only supports a single vreg
+along the gather dimension, so the two gathers take hardware-shaped forms:
+
+* **source rows**: a (STRIP, STRIP) one-hot matrix built from the strip's
+  source-row indices, contracted against the window on the MXU — a gather
+  as matmul, exact for uint8 values carried in float32;
+* **source columns**: the window reshaped to (STRIP, W*3/128, 128) so the
+  gather dimension is exactly one 128-lane vreg; the interleaved column
+  displacement is bounded by 3*(2*level+1) + 2 < 128, so a source lane is
+  in the output's own 128-lane group or the one before it — one
+  ``take_along_axis`` each on the window and its group-rolled copy, selected
+  by source-group parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_desensitization_tpu.ops.mosaic import (
+    DEFAULT_MOSAIC_LEVEL,
+    composed_mosaic_table,
+    mosaic_boxes_batch,
+)
+
+STRIP = 128  # VMEM window rows per DMA
+PAD = 24  # source-row lookback above the output strip
+# Window starts are floor-aligned to 8 sublanes (DMA tiling constraint),
+# costing up to 7 extra lookback rows; the strip advance accounts for it.
+OUT_ROWS = STRIP - PAD - 8
+
+
+def _mosaic_kernel(
+    boxes_ref,  # (1, K, 4) SMEM int32 [x1, y1, x2, y2], clipped
+    ysrc_ref,  # (1, H, KPAD) VMEM f32 — absolute source row per output row
+    csrc_ref,  # (1, K, W*3) VMEM f32 — interleaved source column per column
+    frame_ref,  # (B, H, W*3) ANY (HBM) uint8 — full array (ANY-space rule)
+    out_ref,  # (B, H, W*3) ANY (HBM) uint8 — full array
+    scratch,  # (STRIP, W*3) VMEM uint8
+    yscratch,  # (STRIP, KPAD) VMEM f32 — strip's source-row window, all boxes
+    copy_sem,
+    *,
+    height: int,
+    width: int,
+):
+    w3 = width * 3
+    n_boxes = boxes_ref.shape[1]
+    i = pl.program_id(0)  # frame index (HBM refs are unblocked)
+
+    # Pass-through copy frame -> out (boxes then rewrite their regions).
+    cp = pltpu.make_async_copy(frame_ref.at[i], out_ref.at[i], copy_sem.at[0])
+    cp.start()
+    cp.wait()
+
+    colpix = jax.lax.broadcasted_iota(jnp.int32, (1, w3), 1) // 3
+
+    def per_box(k, _):
+        x1 = boxes_ref[0, k, 0]
+        y1 = boxes_ref[0, k, 1]
+        x2 = boxes_ref[0, k, 2]
+        y2 = boxes_ref[0, k, 3]
+        bh = y2 - y1
+
+        in_x = jnp.logical_and(colpix >= x1, colpix < x2)  # (1, w3)
+        csrc = csrc_ref[0, pl.ds(k, 1), :]  # (1, w3)
+        n_strips = (bh + OUT_ROWS - 1) // OUT_ROWS
+
+        def per_strip(s_rev, _):
+            # Bottom-up: comp[t] <= t puts every source row at or above its
+            # output row, so writing lower strips first keeps all source
+            # rows pristine until they are consumed.
+            s = n_strips - 1 - s_rev
+            row0 = y1 + s * OUT_ROWS
+            wstart = jnp.clip(row0 - PAD, 0, height - STRIP)
+            wstart = (wstart // 8) * 8  # sublane-aligned DMA offset
+
+            dma_in = pltpu.make_async_copy(
+                out_ref.at[i, pl.ds(wstart, STRIP), :], scratch, copy_sem.at[0]
+            )
+            dma_in.start()
+            # Source-row window via DMA (vector loads at dynamic sublane
+            # offsets need 8-alignment; DMA lane slices must be whole
+            # 128-tiles, so copy ALL boxes' columns and pick box k below).
+            dma_y = pltpu.make_async_copy(
+                ysrc_ref.at[0, pl.ds(wstart, STRIP), :],
+                yscratch,
+                copy_sem.at[1],
+            )
+            dma_y.start()
+            dma_in.wait()
+            dma_y.wait()
+
+            rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (STRIP, 1), 0) + wstart
+            )  # absolute row per sublane
+            writable = jnp.logical_and(
+                rows >= row0,
+                jnp.logical_and(rows < row0 + OUT_ROWS, rows < y2),
+            )  # (STRIP, 1)
+
+            # Select box k's column by one-hot contraction on the MXU (a
+            # dynamic unaligned lane index cannot be vector-loaded).
+            kpad = yscratch.shape[1]
+            ksel = (
+                jax.lax.broadcasted_iota(jnp.int32, (kpad, 1), 0) == k
+            ).astype(jnp.float32)
+            ysel = jnp.dot(
+                yscratch[:, :], ksel, preferred_element_type=jnp.float32
+            )  # (STRIP, 1)
+            rel = jnp.clip(ysel.astype(jnp.int32) - wstart, 0, STRIP - 1)
+
+            # u8 -> f32 must hop through i32 (Mosaic lacks the direct cast).
+            window = scratch[:, :].astype(jnp.int32).astype(jnp.float32)
+            # Row gather as a one-hot matmul on the MXU (exact for uint8
+            # values in f32): onehot[o, s] = 1 iff rel[o] == s.
+            src_ids = jax.lax.broadcasted_iota(jnp.int32, (STRIP, STRIP), 1)
+            onehot = (src_ids == rel).astype(jnp.float32)
+            gathered = jnp.dot(
+                onehot, window, preferred_element_type=jnp.float32
+            )  # (STRIP, w3)
+
+            # Column gather per 128-lane group (Mosaic: 2D gathers only, one
+            # vreg along the gather dim). A source lane lives in the output's
+            # own group or the previous one (displacement < 128), so each
+            # group needs two single-vreg gathers and a select. The group
+            # loop is a static Python unroll.
+            ngroups = w3 // 128
+            # Materialize the (STRIP, w3) index tile via an MXU outer
+            # product: vector.broadcast of a sliced (1, N) row carries a
+            # lane-offset layout Mosaic rejects, and the compiler sinks a
+            # broadcast_to below the later slices. ones @ row forces a real
+            # tile-backed value (csrc values < 2^24 are exact in f32).
+            ones_col = jnp.ones((STRIP, 1), jnp.float32)
+            csrc_full = jnp.dot(
+                ones_col, csrc, preferred_element_type=jnp.float32
+            ).astype(jnp.int32)  # (STRIP, w3)
+            pieces = []
+            for g in range(ngroups):
+                sl = slice(g * 128, (g + 1) * 128)
+                csl = csrc_full[:, sl]  # (STRIP, 128), 128-aligned slice
+                lane = jax.lax.rem(csl, 128)
+                same = jnp.take_along_axis(gathered[:, sl], lane, axis=1)
+                if g == 0:
+                    piece = same
+                else:
+                    prev_sl = slice((g - 1) * 128, g * 128)
+                    prev = jnp.take_along_axis(gathered[:, prev_sl], lane, axis=1)
+                    # csl - g*128 == lane iff the source group is g itself.
+                    piece = jnp.where(csl - g * 128 == lane, same, prev)
+                pieces.append(piece)
+            remapped = jnp.concatenate(pieces, axis=1)  # (STRIP, w3)
+
+            keep = jnp.logical_and(writable, in_x)  # (STRIP, w3)
+            scratch[:, :] = (
+                jnp.where(keep, remapped, window)
+                .astype(jnp.int32)
+                .astype(jnp.uint8)
+            )
+
+            dma_out = pltpu.make_async_copy(
+                scratch, out_ref.at[i, pl.ds(wstart, STRIP), :], copy_sem.at[0]
+            )
+            dma_out.start()
+            dma_out.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_strips, per_strip, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_boxes, per_box, 0)
+
+
+def pallas_mosaic_supported(
+    height: int, width: int, level: int = DEFAULT_MOSAIC_LEVEL
+) -> bool:
+    return (
+        height >= STRIP
+        and height % 8 == 0
+        and (width * 3) % 128 == 0
+        and 2 * level + 2 <= PAD
+    )
+
+
+def mosaic_boxes_batch_pallas(
+    frames: jax.Array,
+    boxes: jax.Array,
+    valid: jax.Array,
+    level: int = DEFAULT_MOSAIC_LEVEL,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas mosaic over an NHWC uint8 batch.
+
+    frames: (B, H, W, 3) uint8; boxes: (B, K, 4) int32 pixel xyxy (unclipped
+    ok); valid: (B, K) bool. Same semantics as
+    ops.mosaic.mosaic_boxes_batch; falls back to it when the geometry is
+    outside the kernel's envelope.
+    """
+    b, h, w, c = frames.shape
+    if c != 3 or not pallas_mosaic_supported(h, w, level):
+        return mosaic_boxes_batch(frames, boxes, valid, level)
+    k = boxes.shape[1]
+    w3 = w * 3
+    maxdim = max(h, w)
+    table = jnp.asarray(composed_mosaic_table(level, maxdim), jnp.int32)
+
+    x1 = jnp.clip(boxes[..., 0], 0, w)
+    y1 = jnp.clip(boxes[..., 1], 0, h)
+    x2 = jnp.clip(boxes[..., 2], 0, w)
+    y2 = jnp.clip(boxes[..., 3], 0, h)
+    ok = valid & (x2 > x1) & (y2 > y1)
+    zeros = jnp.zeros_like(x1)
+    cboxes = jnp.stack(
+        [
+            jnp.where(ok, x1, zeros),
+            jnp.where(ok, y1, zeros),
+            jnp.where(ok, x2, zeros),
+            jnp.where(ok, y2, zeros),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    # Absolute per-output-row source rows, stored (B, H, K) so the kernel's
+    # per-strip DMA reads rows on the sublane axis. Rows outside the box
+    # carry clamped garbage — the kernel masks them out.
+    ytbl = table[jnp.where(ok, y2 - y1, zeros)]  # (B, K, maxdim)
+    rows = jnp.arange(h, dtype=jnp.int32)
+    roff = jnp.clip(rows[None, None, :] - y1[..., None], 0, maxdim - 1)
+    ysrc = (y1[..., None] + jnp.take_along_axis(ytbl, roff, axis=2)).astype(
+        jnp.float32
+    )
+    ysrc = jnp.swapaxes(ysrc, 1, 2)  # (B, H, K) — f32 for the one-hot matmul
+    kpad = ((k + 127) // 128) * 128
+    ysrc = jnp.pad(ysrc, ((0, 0), (0, 0), (0, kpad - k)))
+
+    # Absolute per-output-column interleaved source columns: (B, K, W*3),
+    # identity outside the box.
+    xtbl = table[jnp.where(ok, x2 - x1, zeros)]
+    col3 = jnp.arange(w3, dtype=jnp.int32)
+    colpix = col3 // 3
+    chan = col3 - colpix * 3
+    toff = jnp.clip(colpix[None, None, :] - x1[..., None], 0, maxdim - 1)
+    xoff = jnp.take_along_axis(xtbl, toff, axis=2)
+    in_x = (colpix[None, None, :] >= x1[..., None]) & (
+        colpix[None, None, :] < x2[..., None]
+    )
+    # float32 on purpose: the kernel broadcasts this row with an MXU outer
+    # product (values < 2^24, exact in f32).
+    csrc = jnp.where(
+        in_x, (x1[..., None] + xoff) * 3 + chan[None, None, :], col3[None, None, :]
+    ).astype(jnp.float32)
+
+    flat = frames.reshape(b, h, w3)
+    kernel = functools.partial(_mosaic_kernel, height=h, width=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, kpad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, w3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full (B, H, W*3) in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, h, w3), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((STRIP, w3), jnp.uint8),
+            pltpu.VMEM((STRIP, kpad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(cboxes, ysrc, csrc, flat)
+    return out.reshape(b, h, w, 3)

@@ -20,6 +20,7 @@ import numpy as np
 
 from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
 from video_desensitization_tpu.utils.logging import get_logger
+from video_desensitization_tpu.utils.timers import StageTimer
 from video_desensitization_tpu.video.av import HEVC_DEFAULTS, VideoDecoder, VideoEncoder
 
 _SENTINEL = object()
@@ -110,15 +111,19 @@ def process_video_stream(
     t_dec.start()
     t_enc.start()
 
+    timer = StageTimer()
     while True:
-        batch = in_q.get()
+        with timer.stage("wait_decode"):
+            batch = in_q.get()
         if batch is _SENTINEL:
             break
-        res = engine.process_batch(batch)
+        with timer.stage("device"):
+            res = engine.process_batch(batch)
         stats.frames += batch.shape[0]
         stats.faces += res.num_faces
         stats.plates += res.num_plates
-        out_q.put(res.frames)
+        with timer.stage("wait_encode"):
+            out_q.put(res.frames)
     out_q.put(_SENTINEL)
     t_enc.join()
     t_dec.join()
@@ -126,6 +131,8 @@ def process_video_stream(
         raise errors[0]
 
     stats.wall_s = time.time() - t0
+    stats.stage_s = timer.report()
+    log.debug("stream stages: %s", timer.summary())
     log.info(
         "stream %s -> %s: %d frames, %d faces, %d plates, %.1f fps",
         input_path,
