@@ -139,8 +139,13 @@ def _mosaic_kernel(
             ksel = (
                 jax.lax.broadcasted_iota(jnp.int32, (kpad, 1), 0) == k
             ).astype(jnp.float32)
+            # HIGHEST precision: the MXU multiplies in bf16 by default, which
+            # corrupts integer values > 256 (row indices reach H).
             ysel = jnp.dot(
-                yscratch[:, :], ksel, preferred_element_type=jnp.float32
+                yscratch[:, :],
+                ksel,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (STRIP, 1)
             rel = jnp.clip(ysel.astype(jnp.int32) - wstart, 0, STRIP - 1)
 
@@ -160,28 +165,47 @@ def _mosaic_kernel(
             # group needs two single-vreg gathers and a select. The group
             # loop is a static Python unroll.
             ngroups = w3 // 128
-            # Materialize the (STRIP, w3) index tile via an MXU outer
-            # product: vector.broadcast of a sliced (1, N) row carries a
-            # lane-offset layout Mosaic rejects, and the compiler sinks a
-            # broadcast_to below the later slices. ones @ row forces a real
-            # tile-backed value (csrc values < 2^24 are exact in f32).
+            # Column gather as banded one-hot matmuls — NO dynamic_gather:
+            # Mosaic's dynamic_gather silently reads wrong lanes when the
+            # operand is sliced at a lane offset >= 256 (verified on v5e).
+            # A source lane lives in the output's 128-lane group or the one
+            # before it, and each source matches exactly one group, so
+            # out[:, g] = win[:, g] @ OH_g + win[:, g-1] @ OH_{g-1} with
+            # OH_h[a, b] = (csrc[b] == h*128 + a). csrc_full is the index
+            # tile materialized by an MXU outer product (vector.broadcast of
+            # a sliced row carries a lane-offset layout Mosaic rejects);
+            # with STRIP == 128 it doubles as the row-constant (128, 128)
+            # comparison matrix for each block.
             ones_col = jnp.ones((STRIP, 1), jnp.float32)
+            # HIGHEST precision: default bf16 MXU passes round the column
+            # indices (up to W*3 > 256); the data matmuls below stay at
+            # default precision — uint8 values and 0/1 one-hots are exact
+            # in bf16 and the MXU accumulates in f32.
             csrc_full = jnp.dot(
-                ones_col, csrc, preferred_element_type=jnp.float32
-            ).astype(jnp.int32)  # (STRIP, w3)
+                ones_col,
+                csrc,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.int32)  # (STRIP, w3), row-constant
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (STRIP, 128), 0)
             pieces = []
             for g in range(ngroups):
                 sl = slice(g * 128, (g + 1) * 128)
-                csl = csrc_full[:, sl]  # (STRIP, 128), 128-aligned slice
-                lane = jax.lax.rem(csl, 128)
-                same = jnp.take_along_axis(gathered[:, sl], lane, axis=1)
-                if g == 0:
-                    piece = same
-                else:
+                csl = csrc_full[:, sl]  # (128, 128), row-constant
+                oh_same = (row_ids + g * 128 == csl).astype(jnp.float32)
+                piece = jnp.dot(
+                    gathered[:, sl], oh_same, preferred_element_type=jnp.float32
+                )
+                if g > 0:
                     prev_sl = slice((g - 1) * 128, g * 128)
-                    prev = jnp.take_along_axis(gathered[:, prev_sl], lane, axis=1)
-                    # csl - g*128 == lane iff the source group is g itself.
-                    piece = jnp.where(csl - g * 128 == lane, same, prev)
+                    oh_prev = (row_ids + (g - 1) * 128 == csl).astype(
+                        jnp.float32
+                    )
+                    piece = piece + jnp.dot(
+                        gathered[:, prev_sl],
+                        oh_prev,
+                        preferred_element_type=jnp.float32,
+                    )
                 pieces.append(piece)
             remapped = jnp.concatenate(pieces, axis=1)  # (STRIP, w3)
 

@@ -49,17 +49,31 @@ class DesensitizationEngine:
         plate_detector: Optional[Any] = None,
         mosaic_level: int = 8,
         mesh=None,
+        mosaic_backend: str = "auto",
     ):
+        """mosaic_backend: "pallas" (ops.pallas_mosaic strip kernel —
+        box-area-proportional, bitwise-identical to the XLA path, 7-17x
+        faster on chip), "xla" (scan-composed index remap; the only option
+        off-TPU), or "auto" (pallas on TPU, xla elsewhere)."""
         self.face = face_detector
         self.plate = plate_detector
         self.mosaic_level = mosaic_level
         self.mesh = mesh
+        if mosaic_backend == "auto":
+            mosaic_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.mosaic_backend = mosaic_backend
         self._program = jax.jit(self._build_program())
 
     def _build_program(self):
         face = self.face
         plate = self.plate
         level = self.mosaic_level
+        if self.mosaic_backend == "pallas":
+            from video_desensitization_tpu.ops.pallas_mosaic import (
+                mosaic_boxes_batch_pallas as mosaic_fn,
+            )
+        else:
+            mosaic_fn = mosaic_boxes_batch
 
         def program(face_vars, plate_vars, frames_u8, image_shapes):
             face_dets, face_px, face_keep = face._detect_program(
@@ -77,7 +91,7 @@ class DesensitizationEngine:
                 plate_px = jnp.zeros((frames_u8.shape[0], 1, 6), jnp.float32)
                 plate_keep = jnp.zeros((frames_u8.shape[0], 1), bool)
                 boxes, valid = fboxes, face_keep
-            blurred = mosaic_boxes_batch(frames_u8, boxes, valid, level)
+            blurred = mosaic_fn(frames_u8, boxes, valid, level)
             return blurred, face_px, face_keep, plate_px, plate_keep
 
         return program
