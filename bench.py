@@ -62,7 +62,15 @@ def main() -> None:
         max_detections=8,
         dtype=jnp.bfloat16,
     )
-    pipe = TieredPipeline(face, plate, mosaic_level=8)
+    # transfer=yuv420 halves link bytes but costs a host cv2 conversion —
+    # a loss on this single-core host (measured 7.6 vs 9.0 fps), a win when
+    # host cores are plentiful and the link is the bottleneck.
+    pipe = TieredPipeline(
+        face,
+        plate,
+        mosaic_level=8,
+        transfer=os.environ.get("BENCH_TRANSFER", "rgb"),
+    )
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (batch, 1080, 1920, 3), dtype=np.uint8)

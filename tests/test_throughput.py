@@ -98,3 +98,50 @@ def test_mosaic_matches_reference_kernel(pipe):
         np.testing.assert_array_equal(res.frames[i], expect)
         if not merged:
             np.testing.assert_array_equal(res.frames[i], frames[i])
+
+
+def test_i420_device_roundtrip_close_to_cv2():
+    import cv2
+
+    import jax.numpy as jnp
+
+    from video_desensitization_tpu.pipeline.throughput import (
+        i420_to_rgb_device,
+        rgb_to_i420,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    yuv = rgb_to_i420(rgb)
+    back_cv = cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB_I420).astype(np.float32)
+    back_dev = np.asarray(i420_to_rgb_device(jnp.asarray(yuv[None]), 64, 96))[0]
+    # Chroma subsampling is lossy by design; the two reconstructions must
+    # agree closely (coefficient rounding differs by a few counts).
+    assert np.mean(np.abs(back_dev - back_cv)) < 2.0
+    assert np.max(np.abs(back_dev - back_cv)) < 16.0
+
+
+def test_yuv420_transfer_detections_close_to_rgb(face, plate):
+    pipe_rgb = TieredPipeline(face, plate, mosaic_level=8)
+    pipe_yuv = TieredPipeline(face, plate, mosaic_level=8, transfer="yuv420")
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (2, 96, 160, 3), dtype=np.uint8)
+    a = pipe_rgb.process_batch(frames)
+    b = pipe_yuv.process_batch(frames)
+    # Detections need not be identical (chroma subsampling perturbs scores
+    # on random weights) but the pipeline must run end to end and detect a
+    # comparable population.
+    assert b.frames.shape == a.frames.shape
+    assert b.num_faces + b.num_plates > 0
+    assert abs((b.num_faces + b.num_plates) - (a.num_faces + a.num_plates)) <= 8
+
+
+def test_yuv420_rejects_odd_content(face):
+    pipe = TieredPipeline(face, None, mosaic_level=8, transfer="yuv420")
+    # source (129, 128) -> scale = 128/129 -> content nw = int(128*0.99224)
+    # = 127: odd, so I420 packing is impossible.
+    frames = np.zeros((1, 129, 128, 3), np.uint8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="yuv420"):
+        pipe.process_batch(frames)

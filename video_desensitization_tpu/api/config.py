@@ -57,6 +57,10 @@ class PipelineConfig:
     # host mosaic (link-constrained hosts). See pipeline/throughput.py.
     engine: str = "tiered"
     resume: bool = True  # skip already-completed videos via output manifest
+    # Tiered-pipeline host->device format: "rgb" or "yuv420" (half the
+    # bytes; sources are H.265 4:2:0 so chroma re-subsampling is lossless
+    # w.r.t. the codec).
+    transfer: str = "rgb"
 
 
 def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig:
@@ -97,4 +101,5 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
         cfg.output_fps = t.getfloat("output_fps", cfg.output_fps)
         cfg.engine = t.get("engine", cfg.engine)
         cfg.resume = t.getboolean("resume", cfg.resume)
+        cfg.transfer = t.get("transfer", cfg.transfer)
     return cfg

@@ -54,7 +54,9 @@ def build_engine(cfg, with_plates: bool = True):
             dtype=dtype,
         )
     if cfg.engine == "tiered":
-        return TieredPipeline(face, plate, mosaic_level=cfg.mosaic_level)
+        return TieredPipeline(
+            face, plate, mosaic_level=cfg.mosaic_level, transfer=cfg.transfer
+        )
     return DesensitizationEngine(
         face, plate, mosaic_level=cfg.mosaic_level, mesh=mesh
     )

@@ -82,6 +82,38 @@ def resize_content_u8(frame: np.ndarray, dst_hw: Tuple[int, int]) -> np.ndarray:
     return cv2.resize(frame, (nw, nh))
 
 
+def rgb_to_i420(content: np.ndarray) -> np.ndarray:
+    """RGB content -> planar I420 bytes, (nh*3/2, nw) uint8 (cv2 BT.601)."""
+    import cv2
+
+    return cv2.cvtColor(content, cv2.COLOR_RGB2YUV_I420)
+
+
+def i420_to_rgb_device(yuv, nh: int, nw: int):
+    """Device-side I420 -> RGB float32, matching cv2's conversion.
+
+    cv2's I420 path is video-range ITU-R BT.601: R = 1.164(Y-16) +
+    1.596(V-128), G = 1.164(Y-16) - 0.391(U-128) - 0.813(V-128),
+    B = 1.164(Y-16) + 2.018(U-128) (coefficients verified against
+    cv2.cvtColor numerically). Chroma upsamples by 2x replication. The U/V
+    planes are sliced by flat offset, not rows, so any even nh works.
+    yuv: (B, nh*3/2, nw) uint8 -> (B, nh, nw, 3) float32 in [0, 255].
+    """
+    b = yuv.shape[0]
+    y = yuv[:, :nh, :].astype(jnp.float32)
+    h2, w2 = nh // 2, nw // 2
+    tail = yuv[:, nh:, :].reshape(b, (nh // 2) * nw)
+    u = tail[:, : h2 * w2].reshape(b, h2, w2).astype(jnp.float32) - 128.0
+    v = tail[:, h2 * w2 :].reshape(b, h2, w2).astype(jnp.float32) - 128.0
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+    yy = 1.1644 * (y - 16.0)
+    r = yy + 1.596 * v
+    g = yy - 0.391 * u - 0.813 * v
+    bl = yy + 2.018 * u
+    return jnp.clip(jnp.stack([r, g, bl], axis=-1), 0.0, 255.0)
+
+
 class TieredPipeline:
     def __init__(
         self,
@@ -89,11 +121,18 @@ class TieredPipeline:
         plate_detector: Optional[PlateDetector] = None,
         mosaic_level: int = 8,
         letterbox_workers: int = 6,
+        transfer: str = "rgb",
     ):
+        """transfer: "rgb" sends (nh, nw, 3) letterbox content; "yuv420"
+        sends planar I420 (nh*3/2, nw) — half the bytes over the link. The
+        source streams are H.265 YUV 4:2:0, so re-subsampling chroma loses
+        nothing the codec stored; the device converts back with BT.601.
+        yuv420 requires even content dims (true for 16:9/4:3 at 640)."""
         self.face = face_detector
         self.plate = plate_detector
         self.mosaic_level = mosaic_level
         self.input_hw = face_detector.input_hw
+        self.transfer = transfer
         self._pool = ThreadPoolExecutor(max_workers=letterbox_workers)
         self._program = jax.jit(self._build_program())
 
@@ -101,16 +140,23 @@ class TieredPipeline:
         face = self.face
         plate = self.plate
         h, w = self.input_hw
+        transfer = self.transfer
 
         def program(face_vars, plate_vars, content_u8, image_shapes):
             # Rebuild the gray-128 letterbox canvas on device: the host sends
             # only the resized content (pad geometry is static under jit).
-            _, ch, cw, _ = content_u8.shape
+            if transfer == "yuv420":
+                _, rows15, cw = content_u8.shape
+                ch = rows15 * 2 // 3
+                content = i420_to_rgb_device(content_u8, ch, cw)
+            else:
+                _, ch, cw, _ = content_u8.shape
+                content = content_u8
             top, left = (h - ch) // 2, (w - cw) // 2
             lb_frames_u8 = jnp.pad(
-                content_u8,
+                content,
                 ((0, 0), (top, h - ch - top), (left, w - cw - left), (0, 0)),
-                constant_values=jnp.uint8(128),
+                constant_values=jnp.asarray(128, content.dtype),
             )
             _, face_px, face_keep = face._detect_program(
                 face_vars, lb_frames_u8, image_shapes
@@ -128,11 +174,23 @@ class TieredPipeline:
 
     # -- stages ---------------------------------------------------------------
     def letterbox_batch(self, frames: np.ndarray) -> np.ndarray:
-        """(B, H, W, 3) uint8 -> (B, nh, nw, 3) uint8 content, threadpooled.
+        """(B, H, W, 3) uint8 -> letterbox content batch, threadpooled.
 
-        Only the letterbox *content* is produced; the device program pads it
-        to the square canvas (see _build_program).
+        Only the letterbox *content* is produced ((B, nh, nw, 3) uint8 RGB,
+        or (B, nh*3/2, nw) planar I420 in yuv420 mode); the device program
+        converts/pads to the square canvas (see _build_program).
         """
+        if self.transfer == "yuv420":
+            def one(f):
+                c = resize_content_u8(f, self.input_hw)
+                nh, nw = c.shape[:2]
+                if nh % 2 or nw % 2:
+                    raise ValueError(
+                        f"yuv420 transfer needs even letterbox content dims, "
+                        f"got {nh}x{nw}; use transfer='rgb' for this source"
+                    )
+                return rgb_to_i420(c)
+            return np.stack(list(self._pool.map(one, frames)))
         return np.stack(
             list(
                 self._pool.map(
