@@ -1,0 +1,58 @@
+"""Multi-camera co-batching pipeline: shared device batches, N codecs."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from video_desensitization_tpu.detect.face import Retinaface
+from video_desensitization_tpu.pipeline.multicam import process_videos_cobatched
+from video_desensitization_tpu.pipeline.throughput import TieredPipeline
+from video_desensitization_tpu.video.av import (
+    VideoDecoder,
+    VideoEncoder,
+    native_available,
+)
+
+needs_native = pytest.mark.skipif(
+    not native_available(), reason="native av layer unavailable"
+)
+
+
+@needs_native
+def test_cobatched_streams_roundtrip(tmp_path):
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.01,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.float32,
+    )
+    engine = TieredPipeline(face, None, mosaic_level=8)
+
+    rng = np.random.default_rng(0)
+    jobs = {}
+    counts = {"front": 11, "rear": 7}
+    shapes = {"front": (96, 160), "rear": (64, 128)}  # mixed resolutions
+    for cam, n in counts.items():
+        src = str(tmp_path / f"{cam}.mp4")
+        h, w = shapes[cam]
+        with VideoEncoder(src, w, h, fps=10, codec="mpeg4") as e:
+            for i in range(n):
+                e.write(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        jobs[cam] = (src, str(tmp_path / f"{cam}_out.mp4"))
+
+    stats = process_videos_cobatched(jobs, engine, batch_size=4)
+
+    for cam, n in counts.items():
+        assert stats[cam].frames == n
+        out = jobs[cam][1]
+        assert os.path.getsize(out) > 500
+        with VideoDecoder(out) as dec:
+            decoded = sum(1 for _ in dec)
+            assert (dec.width, dec.height) == shapes[cam][::-1]
+        assert decoded == n

@@ -42,12 +42,13 @@ def test_config_engine_and_resume_keys(tmp_path):
         "[PATHS]\nmodel_path=a\nmodel_weights=b\nrecord_dir=c\n"
         "output_h265_dir=d\noutput_videos_dir=e\ntemp_directory_base=f\n"
         "record_output_dir=g\n"
-        "[TPU]\nengine=fused\nresume=false\ntransfer=yuv420\n"
+        "[TPU]\nengine=fused\nresume=false\ntransfer=yuv420\nco_batch=true\n"
     )
     cfg = load_config(str(ini))
     assert cfg.engine == "fused"
     assert cfg.resume is False
     assert cfg.transfer == "yuv420"
+    assert cfg.co_batch is True
 
     # Defaults
     assert PipelineConfig().engine == "tiered"

@@ -61,6 +61,9 @@ class PipelineConfig:
     # bytes; sources are H.265 4:2:0 so chroma re-subsampling is lossless
     # w.r.t. the codec).
     transfer: str = "rgb"
+    # Co-batch frames from all camera streams into shared device batches
+    # (pipeline/multicam.py) instead of processing streams sequentially.
+    co_batch: bool = False
 
 
 def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig:
@@ -102,4 +105,5 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
         cfg.engine = t.get("engine", cfg.engine)
         cfg.resume = t.getboolean("resume", cfg.resume)
         cfg.transfer = t.get("transfer", cfg.transfer)
+        cfg.co_batch = t.getboolean("co_batch", cfg.co_batch)
     return cfg

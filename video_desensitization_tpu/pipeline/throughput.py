@@ -252,18 +252,23 @@ class TieredPipeline:
     ) -> Iterator[TieredResult]:
         """Pipeline an iterable of uint8 NHWC batches.
 
-        Keeps up to ``depth`` batches in flight: letterbox + transfer +
-        device compute of later batches overlap the fetch + host mosaic of
-        earlier ones.
+        Keeps up to ``depth`` batches in flight, and runs finalize (device
+        fetch + host mosaic) on a worker thread: the fetch blocks with the
+        GIL released, so the main thread letterboxes and dispatches the next
+        batch during the wait.
         """
-        inflight: List[Tuple[np.ndarray, object]] = []
-        for frames in batches:
-            b, h, w, _ = frames.shape
-            shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
-            lb = self.letterbox_batch(frames)
-            inflight.append((frames, self.dispatch(lb, shapes)))
-            if len(inflight) > depth:
-                done_frames, fut = inflight.pop(0)
-                yield self.finalize(done_frames, fut)
-        for done_frames, fut in inflight:
-            yield self.finalize(done_frames, fut)
+        worker = ThreadPoolExecutor(max_workers=1)
+        pending: List = []  # finalize futures, in order
+        try:
+            for frames in batches:
+                b, h, w, _ = frames.shape
+                shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+                lb = self.letterbox_batch(frames)
+                fut = self.dispatch(lb, shapes)
+                pending.append(worker.submit(self.finalize, frames, fut))
+                if len(pending) > depth:
+                    yield pending.pop(0).result()
+            for f in pending:
+                yield f.result()
+        finally:
+            worker.shutdown(wait=False)

@@ -135,6 +135,45 @@ def process_record_job(
     os.makedirs(config.output_videos_dir, exist_ok=True)
     manifest = JobManifest(config.output_videos_dir) if config.resume else None
 
+    if config.co_batch:
+        from video_desensitization_tpu.pipeline.multicam import (
+            process_videos_cobatched,
+        )
+
+        jobs = {}
+        for root, _dirs, files in os.walk(hevc_dir):
+            for fname in sorted(files):
+                ext = os.path.splitext(fname)[1].lower().lstrip(".")
+                fpath = os.path.join(root, fname)
+                if ext in config.video_formats and not (
+                    manifest is not None and manifest.is_done(fpath)
+                ):
+                    name, e = os.path.splitext(fname)
+                    jobs[name] = (
+                        fpath,
+                        os.path.join(
+                            config.output_videos_dir, f"{name}_processed{e}"
+                        ),
+                    )
+        cam_stats = process_videos_cobatched(
+            jobs, engine, batch_size=config.batch_size, fps=config.output_fps
+        )
+        for name, cs in cam_stats.items():
+            stats.videos_processed += 1
+            stats.frames += cs.frames
+            stats.faces += cs.faces
+            stats.plates += cs.plates
+            if manifest is not None:
+                manifest.mark(jobs[name][0], jobs[name][1], frames=cs.frames,
+                              faces=cs.faces, plates=cs.plates)
+        stats.record_path = write_allH265_record_all(
+            config.record_dir, config.output_videos_dir, config.record_output_dir
+        )
+        stats.wall_s = time.time() - t0
+        log.info("record job (co-batched) done: %d streams, %d frames, %.1fs",
+                 stats.videos_processed, stats.frames, stats.wall_s)
+        return stats
+
     for root, _dirs, files in os.walk(hevc_dir):
         for fname in sorted(files):
             fpath = os.path.join(root, fname)
