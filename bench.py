@@ -95,7 +95,7 @@ def main() -> None:
         with open(baseline_path) as f:
             cpu_fps = float(json.load(f)["cpu_fps"])
     except (OSError, KeyError, ValueError):
-        cpu_fps = float("nan")
+        cpu_fps = None  # keep the output strict JSON (NaN is not)
 
     print(
         json.dumps(
@@ -103,7 +103,7 @@ def main() -> None:
                 "metric": "e2e_1080p_desensitization_fps_per_chip",
                 "value": round(fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / cpu_fps, 2),
+                "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps else None,
             }
         )
     )

@@ -56,3 +56,52 @@ def test_cobatched_streams_roundtrip(tmp_path):
             decoded = sum(1 for _ in dec)
             assert (dec.width, dec.height) == shapes[cam][::-1]
         assert decoded == n
+
+
+@needs_native
+def test_cobatched_dead_encoder_raises_instead_of_hanging(tmp_path):
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.01,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.float32,
+    )
+    engine = TieredPipeline(face, None, mosaic_level=8)
+    rng = np.random.default_rng(1)
+    src = str(tmp_path / "cam.mp4")
+    with VideoEncoder(src, 128, 64, fps=10, codec="mpeg4") as e:
+        for i in range(6):
+            e.write(rng.integers(0, 255, (64, 128, 3), dtype=np.uint8))
+    jobs = {"cam": (src, "/nonexistent_dir_zz/out.mp4")}
+    with pytest.raises(Exception):
+        process_videos_cobatched(jobs, engine, batch_size=4)
+
+
+@needs_native
+def test_cobatched_with_fused_engine(tmp_path):
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.01,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.float32,
+    )
+    engine = DesensitizationEngine(face, None, mosaic_level=8)
+    rng = np.random.default_rng(2)
+    src = str(tmp_path / "cam.mp4")
+    n = 5
+    with VideoEncoder(src, 128, 64, fps=10, codec="mpeg4") as e:
+        for i in range(n):
+            e.write(rng.integers(0, 255, (64, 128, 3), dtype=np.uint8))
+    out = str(tmp_path / "out.mp4")
+    stats = process_videos_cobatched({"cam": (src, out)}, engine, batch_size=4)
+    assert stats["cam"].frames == n
+    with VideoDecoder(out) as dec:
+        assert sum(1 for _ in dec) == n

@@ -106,4 +106,8 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
         cfg.resume = t.getboolean("resume", cfg.resume)
         cfg.transfer = t.get("transfer", cfg.transfer)
         cfg.co_batch = t.getboolean("co_batch", cfg.co_batch)
+    if cfg.engine not in ("tiered", "fused"):
+        raise ValueError(f"[TPU] engine must be 'tiered' or 'fused', got {cfg.engine!r}")
+    if cfg.transfer not in ("rgb", "yuv420"):
+        raise ValueError(f"[TPU] transfer must be 'rgb' or 'yuv420', got {cfg.transfer!r}")
     return cfg

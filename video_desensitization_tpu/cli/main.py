@@ -54,6 +54,14 @@ def build_engine(cfg, with_plates: bool = True):
             dtype=dtype,
         )
     if cfg.engine == "tiered":
+        if mesh is not None:
+            from video_desensitization_tpu.utils.logging import get_logger
+
+            get_logger("cli").warning(
+                "engine=tiered runs single-chip; mesh_data=%s is ignored "
+                "(use engine=fused for multi-chip batch sharding)",
+                cfg.mesh_data,
+            )
         return TieredPipeline(
             face, plate, mosaic_level=cfg.mosaic_level, transfer=cfg.transfer
         )

@@ -9,20 +9,32 @@ demux blurred frames back to per-camera encoders. One compiled program, one
 steady device pipeline, N codecs.
 
 Frames are grouped by resolution (a camera's resolution is fixed, so
-per-camera ordering survives FIFO batching within its group).
+per-camera ordering survives FIFO batching within its group). Partial
+batches at drain are padded to ``batch_size`` so every device call reuses
+one compiled program. When the engine exposes the tiered dispatch/finalize
+split, finalize runs on a worker thread so decode and device compute
+overlap the host mosaic. Worker failures set an abort flag that unblocks
+every queue (no deadlock on a dead encoder/decoder) and re-raise in the
+caller.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from dataclasses import dataclass, field
-from typing import Dict, Iterator, List, Optional, Tuple
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from video_desensitization_tpu.utils.logging import get_logger
-from video_desensitization_tpu.video.av import HEVC_DEFAULTS, VideoDecoder, VideoEncoder
+from video_desensitization_tpu.video.av import (
+    HEVC_DEFAULTS,
+    VideoDecoder,
+    VideoEncoder,
+    default_codec_for,
+)
 
 _DONE = object()
 
@@ -34,6 +46,16 @@ class CameraStats:
     plates: int = 0
 
 
+def _abortable_put(q: "queue.Queue", item, abort: threading.Event) -> bool:
+    while not abort.is_set():
+        try:
+            q.put(item, timeout=0.25)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def process_videos_cobatched(
     jobs: Dict[str, Tuple[str, str]],
     engine,
@@ -41,11 +63,13 @@ def process_videos_cobatched(
     fps: Optional[float] = None,
     codec: Optional[str] = None,
     queue_depth: int = 64,
+    inflight: int = 2,
 ) -> Dict[str, CameraStats]:
     """Desensitize many videos through one shared device batch stream.
 
     jobs: {camera_name: (input_path, output_path)}. Returns per-camera
-    stats. Encoder codec defaults per output extension (see streaming.py).
+    stats. Encoder codec defaults per output extension
+    (video.av.default_codec_for).
     """
     log = get_logger("multicam")
     frame_q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
@@ -54,6 +78,7 @@ def process_videos_cobatched(
     }
     stats = {cam: CameraStats() for cam in jobs}
     errors: List[Exception] = []
+    abort = threading.Event()
     meta: Dict[str, dict] = {}
 
     def decode_worker(cam: str, path: str):
@@ -61,36 +86,43 @@ def process_videos_cobatched(
             with VideoDecoder(path) as dec:
                 meta[cam] = {"fps": dec.fps or 30.0}
                 for frame in dec:
-                    frame_q.put((cam, frame))
+                    if not _abortable_put(frame_q, (cam, frame), abort):
+                        return
         except Exception as e:  # noqa: BLE001
             errors.append(e)
+            abort.set()
         finally:
-            frame_q.put((cam, _DONE))
+            _abortable_put(frame_q, (cam, _DONE), abort)
 
     def encode_worker(cam: str, out_path: str):
+        enc = None
         try:
-            enc = None
             while True:
                 item = enc_qs[cam].get()
                 if item is _DONE:
                     break
                 if enc is None:
                     h, w = item.shape[:2]
-                    ext = out_path.lower().rsplit(".", 1)[-1]
-                    c = codec or {
-                        "h265": "libx265", "hevc": "libx265",
-                        "265": "libx265", "avi": "mjpeg",
-                    }.get(ext, "mpeg4")
+                    c = codec or default_codec_for(out_path)
                     kwargs = dict(HEVC_DEFAULTS) if c == "libx265" else {}
                     kwargs["codec"] = c
                     enc = VideoEncoder(
                         out_path, w, h, fps=fps or meta[cam]["fps"], **kwargs
                     )
                 enc.write(item)
-            if enc is not None:
-                enc.close()
         except Exception as e:  # noqa: BLE001
             errors.append(e)
+            abort.set()
+            # Keep draining so producers never block on a dead encoder.
+            while enc_qs[cam].get() is not _DONE:
+                pass
+        finally:
+            if enc is not None:
+                try:
+                    enc.close()
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+                    abort.set()
 
     dec_threads = [
         threading.Thread(target=decode_worker, args=(cam, src), daemon=True)
@@ -103,39 +135,66 @@ def process_videos_cobatched(
     for t in dec_threads + enc_threads:
         t.start()
 
-    # Co-batcher: group frames by shape, flush on batch_size or drain.
-    groups: Dict[Tuple[int, int], List[Tuple[str, np.ndarray]]] = {}
-    live = set(jobs)
+    tiered = hasattr(engine, "dispatch") and hasattr(engine, "finalize")
+    finalizer = ThreadPoolExecutor(max_workers=1)
+    pending: List[Tuple[List[Tuple[str, np.ndarray]], object]] = []
 
-    def flush(shape_hw):
-        items = groups.pop(shape_hw, [])
-        if not items:
-            return
+    def submit(items: List[Tuple[str, np.ndarray]]):
         batch = np.stack([f for _, f in items])
-        res = engine.process_batch(batch)
-        for (cam, _), blurred in zip(items, res.frames):
-            enc_qs[cam].put(blurred)
+        n = batch.shape[0]
+        if n < batch_size:  # pad: one compiled program for every call
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], batch_size - n, axis=0)]
+            )
+        if tiered:
+            b, h, w, _ = batch.shape
+            shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+            lb = engine.letterbox_batch(batch)
+            fut = engine.dispatch(lb, shapes)
+            pending.append(
+                (items, finalizer.submit(engine.finalize, batch, fut))
+            )
+        else:
+            pending.append((items, finalizer.submit(engine.process_batch, batch)))
+
+    def route(done_items, res):
+        for (cam, _), blurred, fb, pb in zip(
+            done_items, res.frames, res.face_boxes, res.plate_boxes
+        ):
+            if not _abortable_put(enc_qs[cam], blurred, abort):
+                return
             stats[cam].frames += 1
-        # Face/plate counts are per-batch; attribute by per-image boxes.
-        for (cam, _), fb, pb in zip(items, res.face_boxes, res.plate_boxes):
             stats[cam].faces += len(fb)
             stats[cam].plates += len(pb)
 
-    while live:
-        cam, item = frame_q.get()
+    groups: Dict[Tuple[int, int], List[Tuple[str, np.ndarray]]] = {}
+    live = set(jobs)
+    while live and not abort.is_set():
+        try:
+            cam, item = frame_q.get(timeout=0.25)
+        except queue.Empty:
+            continue  # re-check abort/live (a dead decoder can't put _DONE)
         if item is _DONE:
             live.discard(cam)
             if not live:
                 for shape_hw in list(groups):
-                    flush(shape_hw)
+                    if groups[shape_hw]:
+                        submit(groups.pop(shape_hw))
             continue
         key = item.shape[:2]
         groups.setdefault(key, []).append((cam, item))
         if len(groups[key]) >= batch_size:
-            flush(key)
+            submit(groups.pop(key))
+        while len(pending) > inflight:
+            done_items, fut = pending.pop(0)
+            route(done_items, fut.result())
+    for done_items, fut in pending:
+        if not abort.is_set():
+            route(done_items, fut.result())
+    finalizer.shutdown(wait=True)
 
     for q_ in enc_qs.values():
-        q_.put(_DONE)
+        _abortable_put(q_, _DONE, abort) or q_.put(_DONE)
     for t in enc_threads:
         t.join()
     for t in dec_threads:

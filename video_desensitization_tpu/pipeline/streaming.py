@@ -21,7 +21,12 @@ import numpy as np
 from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
 from video_desensitization_tpu.utils.logging import get_logger
 from video_desensitization_tpu.utils.timers import StageTimer
-from video_desensitization_tpu.video.av import HEVC_DEFAULTS, VideoDecoder, VideoEncoder
+from video_desensitization_tpu.video.av import (
+    HEVC_DEFAULTS,
+    VideoDecoder,
+    VideoEncoder,
+    default_codec_for,
+)
 
 _SENTINEL = object()
 
@@ -56,12 +61,7 @@ def process_video_stream(
     dec = VideoDecoder(input_path)
     out_fps = fps if fps else (dec.fps or 30.0)
     if codec is None:
-        ext = output_path.lower().rsplit(".", 1)[-1]
-        # mp4/mov default to MPEG-4 part 2 — the reference's cv2 'mp4v'
-        # writer (combine_detect.py:501-508) and ~8x cheaper than libx264 on
-        # a single host core; pass codec="libx264" explicitly for H.264.
-        codec = {"h265": "libx265", "hevc": "libx265", "265": "libx265",
-                 "avi": "mjpeg"}.get(ext, "mpeg4")
+        codec = default_codec_for(output_path)
 
     in_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
     out_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
@@ -102,6 +102,10 @@ def process_video_stream(
                     enc.write(frame)
         except Exception as e:  # noqa: BLE001
             errors.append(e)
+            # Keep draining so the main loop's out_q.put never blocks on a
+            # dead encoder; the error is raised after the join.
+            while out_q.get() is not _SENTINEL:
+                pass
         finally:
             if encoder_holder.get("enc"):
                 encoder_holder["enc"].close()

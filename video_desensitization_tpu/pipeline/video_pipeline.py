@@ -145,16 +145,32 @@ def process_record_job(
             for fname in sorted(files):
                 ext = os.path.splitext(fname)[1].lower().lstrip(".")
                 fpath = os.path.join(root, fname)
-                if ext in config.video_formats and not (
-                    manifest is not None and manifest.is_done(fpath)
-                ):
-                    name, e = os.path.splitext(fname)
-                    jobs[name] = (
-                        fpath,
-                        os.path.join(
-                            config.output_videos_dir, f"{name}_processed{e}"
-                        ),
-                    )
+                if ext == "mf4":
+                    # Same non-video handling as the sequential path.
+                    if process_mf4(fpath, config.output_videos_dir):
+                        stats.videos_copied += 1
+                    continue
+                if ext not in config.video_formats:
+                    if config.copy_unprocessed_videos and copy_unprocessed_video(
+                        fpath, config.output_videos_dir
+                    ):
+                        stats.videos_copied += 1
+                    continue
+                if manifest is not None and manifest.is_done(fpath):
+                    stats.videos_processed += 1
+                    continue
+                name, e = os.path.splitext(fname)
+                key = name
+                n = 2
+                while key in jobs:  # same stem in another dir/extension
+                    key = f"{name}_{n}"
+                    n += 1
+                jobs[key] = (
+                    fpath,
+                    os.path.join(
+                        config.output_videos_dir, f"{key}_processed{e}"
+                    ),
+                )
         cam_stats = process_videos_cobatched(
             jobs, engine, batch_size=config.batch_size, fps=config.output_fps
         )

@@ -178,6 +178,22 @@ class VideoDecoder:
 HEVC_DEFAULTS = dict(codec="libx265", bitrate=10_000_000, preset="medium")
 
 
+def default_codec_for(path_or_ext: str) -> str:
+    """Default encoder by output extension (single source of truth).
+
+    mp4/mov map to MPEG-4 part 2 — the reference's cv2 'mp4v' writer
+    (combine_detect.py:501-508) and ~8x cheaper than libx264 on one core;
+    pass an explicit codec for H.264.
+    """
+    ext = path_or_ext.lower().rsplit(".", 1)[-1]
+    return {
+        "h265": "libx265",
+        "hevc": "libx265",
+        "265": "libx265",
+        "avi": "mjpeg",
+    }.get(ext, "mpeg4")
+
+
 class VideoEncoder:
     """Encode RGB uint8 frames to a video file.
 

@@ -16,7 +16,11 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 from video_desensitization_tpu.utils.logging import get_logger
-from video_desensitization_tpu.video.av import VideoDecoder, VideoEncoder
+from video_desensitization_tpu.video.av import (
+    VideoDecoder,
+    VideoEncoder,
+    default_codec_for,
+)
 
 
 def iter_frames(
@@ -82,16 +86,8 @@ def create_video(
         log.error("unreadable first frame")
         return False
     h, w = first.shape[:2]
-    ext = os.path.splitext(output_path)[1].lower()
     if codec is None:
-        # mp4v parity with the reference's cv2.VideoWriter codec table
-        # (combine_detect.py:501-508); see streaming.py for the rationale.
-        codec = {
-            ".h265": "libx265",
-            ".hevc": "libx265",
-            ".265": "libx265",
-            ".avi": "mjpeg",
-        }.get(ext, "mpeg4")
+        codec = default_codec_for(output_path)
     try:
         enc = VideoEncoder(output_path, w, h, fps=fps, codec=codec)
     except IOError:
