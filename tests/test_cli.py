@@ -1,0 +1,69 @@
+"""CLI entrypoint end-to-end: --video and --images modes (reference L6)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from video_desensitization_tpu.cli.main import main
+from video_desensitization_tpu.video.av import (
+    VideoDecoder,
+    VideoEncoder,
+    native_available,
+)
+
+needs_native = pytest.mark.skipif(
+    not native_available(), reason="native av layer unavailable"
+)
+
+
+def _tiny_config(tmp_path):
+    # Minimal config so build_engine uses small models (fast CPU compile).
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        "[PATHS]\nmodel_path=\nmodel_weights=\nrecord_dir=\n"
+        "output_h265_dir=\noutput_videos_dir=\ntemp_directory_base=\n"
+        "record_output_dir=\n"
+        "[SETTINGS]\nbatch_size=4\n"
+        "[TPU]\ninput_size=128\nmax_detections=8\ndtype=float32\n"
+        "confidence=0.01\n"
+    )
+    return str(ini)
+
+
+@needs_native
+def test_cli_video_mode(tmp_path):
+    rng = np.random.default_rng(0)
+    src = str(tmp_path / "in.mp4")
+    with VideoEncoder(src, 160, 96, fps=10, codec="mpeg4") as e:
+        for i in range(8):
+            e.write(rng.integers(0, 255, (96, 160, 3), dtype=np.uint8))
+    out = str(tmp_path / "out.mp4")
+    rc = main([
+        _tiny_config(tmp_path), "--video", src, "--out", out, "--no-plates",
+    ])
+    assert rc == 0
+    with VideoDecoder(out) as dec:
+        assert sum(1 for _ in dec) == 8
+
+
+def test_cli_images_mode(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(1)
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    for i in range(3):
+        cv2.imwrite(
+            str(imgdir / f"f{i}.jpg"),
+            rng.integers(0, 255, (96, 160, 3), dtype=np.uint8),
+        )
+    outdir = str(tmp_path / "out")
+    rc = main([
+        _tiny_config(tmp_path), "--images", str(imgdir), "--out", outdir,
+        "--no-plates",
+    ])
+    assert rc == 0
+    outs = sorted(os.listdir(outdir))
+    assert len(outs) == 3
+    assert all(f.startswith("processed_") for f in outs)

@@ -37,7 +37,7 @@ def build_engine(cfg, with_plates: bool = True):
         mesh = make_mesh(data=cfg.mesh_data)
 
     face = Retinaface(
-        model_path=cfg.model_path,
+        model_path=cfg.model_path or None,  # "" in the ini = no checkpoint
         backbone="resnet50",
         confidence=cfg.confidence,
         nms_iou=cfg.nms_iou,
@@ -48,7 +48,7 @@ def build_engine(cfg, with_plates: bool = True):
     plate = None
     if with_plates:
         plate = PlateDetector(
-            model_path=cfg.model_weights,
+            model_path=cfg.model_weights or None,
             confidence=cfg.plate_confidence,
             input_shape=(cfg.input_size, cfg.input_size),
             dtype=dtype,
