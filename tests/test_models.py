@@ -85,3 +85,25 @@ def test_train_mode_returns_logits():
     )[0]
     # raw logits, not softmax
     assert not np.allclose(np.asarray(cls).sum(-1), 1.0)
+
+
+def test_save_load_variables_roundtrip_and_cli(tmp_path, oracle_and_flax):
+    from video_desensitization_tpu.models import convert as C
+
+    oracle, net, variables = oracle_and_flax
+    # msgpack round trip preserves the tree bit-exactly
+    p = str(tmp_path / "face.msgpack")
+    C.save_variables(variables, p)
+    back = C.load_variables(p)
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # converter CLI: .pth -> msgpack
+    pth = str(tmp_path / "oracle.pth")
+    torch.save(oracle.state_dict(), pth)
+    out = str(tmp_path / "converted.msgpack")
+    rc = C.main([pth, out, "--arch", "retinaface"])
+    assert rc == 0
+    conv = C.load_variables(out)
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(conv)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -14,9 +14,11 @@ environments without torch.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, List, Mapping, Optional, Tuple
 
 import numpy as np
+
+import jax
 
 
 def _to_numpy(v) -> np.ndarray:
@@ -258,3 +260,40 @@ def load_variables(path: str) -> Dict:
 
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    """Offline converter CLI:
+
+        python -m video_desensitization_tpu.models.convert \
+            Retinaface_resnet50.pth face.msgpack [--arch retinaface|yolo]
+
+    Converts a torch checkpoint to a Flax msgpack variables file that
+    ``Retinaface(model_path=...)`` / ``PlateDetector(model_path=...)`` load
+    directly (no torch needed at inference time).
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="torch checkpoint -> Flax msgpack")
+    p.add_argument("src", help=".pth/.pt torch checkpoint")
+    p.add_argument("dst", help="output .msgpack path")
+    p.add_argument(
+        "--arch", choices=("retinaface", "yolo"), default="retinaface"
+    )
+    args = p.parse_args(argv)
+
+    state = load_torch_checkpoint(args.src)
+    if args.arch == "retinaface":
+        variables = convert_retinaface_state_dict(state)
+    else:
+        variables = convert_yolo_state_dict(state)
+    save_variables(variables, args.dst)
+    n = sum(v.size for v in jax.tree.leaves(variables))
+    print(f"wrote {args.dst}: {n:,} parameters")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main(sys.argv[1:]))

@@ -50,11 +50,15 @@ class DesensitizationEngine:
         mosaic_level: int = 8,
         mesh=None,
         mosaic_backend: str = "auto",
+        anonymizer: str = "mosaic",
     ):
         """mosaic_backend: "pallas" (ops.pallas_mosaic strip kernel —
         box-area-proportional, bitwise-identical to the XLA path, 7-17x
         faster on chip), "xla" (scan-composed index remap; the only option
-        off-TPU), or "auto" (pallas on TPU, xla elsewhere)."""
+        off-TPU), or "auto" (pallas on TPU, xla elsewhere).
+
+        anonymizer: "mosaic" (reference pixelation) or "gaussian"
+        (ops.mosaic.gaussian_blur_boxes — separable depthwise blur)."""
         self.face = face_detector
         self.plate = plate_detector
         self.mosaic_level = mosaic_level
@@ -62,13 +66,18 @@ class DesensitizationEngine:
         if mosaic_backend == "auto":
             mosaic_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.mosaic_backend = mosaic_backend
+        self.anonymizer = anonymizer
         self._program = jax.jit(self._build_program())
 
     def _build_program(self):
         face = self.face
         plate = self.plate
         level = self.mosaic_level
-        if self.mosaic_backend == "pallas":
+        if self.anonymizer == "gaussian":
+            from video_desensitization_tpu.ops.mosaic import gaussian_blur_boxes
+
+            mosaic_fn = lambda f, b, v, _lvl: gaussian_blur_boxes(f, b, v)
+        elif self.mosaic_backend == "pallas":
             from video_desensitization_tpu.ops.pallas_mosaic import (
                 mosaic_boxes_batch_pallas as mosaic_fn,
             )
