@@ -16,8 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-# Parity tests compare against torch/numpy float32 oracles; stop XLA from
-# downcasting conv/matmul inputs (the production TPU path uses bf16 anyway).
-jax.config.update("jax_default_matmul_precision", "float32")
+if os.environ.get("JAX_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    # Parity tests compare against torch/numpy float32 oracles; stop XLA
+    # from downcasting conv/matmul inputs (the TPU path uses bf16 anyway).
+    jax.config.update("jax_default_matmul_precision", "float32")
+# JAX_TPU_TESTS=1 leaves the real backend in place so
+# tests/test_tpu_hardware.py can run compiled-kernel checks on chip.

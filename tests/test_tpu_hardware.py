@@ -1,0 +1,73 @@
+"""Hardware-only validation (skipped on the CPU backend).
+
+The CPU suite forces jax to 8 virtual CPU devices (conftest.py), so these
+tests skip there; run them on a real chip with:
+
+    JAX_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q --no-header -p no:cacheprovider
+
+(using a separate invocation so conftest's CPU override can be bypassed via
+the env flag below). They pin the two facts that only hardware can check:
+the Pallas mosaic kernel is bitwise-identical to the cv2 reference when
+COMPILED (interpret mode already passes on CPU — and hid two real Mosaic
+lowering bugs during development), and the fused engine produces identical
+output through either mosaic backend.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="requires a real TPU backend (set JAX_TPU_TESTS=1 and run this "
+    "file standalone; tests/conftest.py forces CPU otherwise)",
+)
+
+
+def test_pallas_mosaic_bitwise_on_hardware():
+    from video_desensitization_tpu.ops.mosaic import mosaic_host_reference
+    from video_desensitization_tpu.ops.pallas_mosaic import (
+        mosaic_boxes_batch_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 1080, 1920, 3), dtype=np.uint8)
+    k = 16
+    bx = rng.integers(0, 1919, (2, k, 1))
+    by = rng.integers(0, 1079, (2, k, 1))
+    bw = rng.integers(5, 300, (2, k, 1))
+    bh = rng.integers(5, 300, (2, k, 1))
+    boxes = np.concatenate([bx, by, bx + bw, by + bh], axis=-1).astype(np.int32)
+    valid = rng.random((2, k)) < 0.6
+
+    out = np.asarray(mosaic_boxes_batch_pallas(frames, boxes, valid, 8))
+    for i in range(2):
+        bl = [b.tolist() for b, v in zip(boxes[i], valid[i]) if v]
+        np.testing.assert_array_equal(
+            out[i], mosaic_host_reference(frames[i], bl, 8)
+        )
+
+
+def test_engine_backends_agree_on_hardware():
+    import jax.numpy as jnp
+
+    from video_desensitization_tpu.detect.face import Retinaface
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[256, 256, 3],
+        confidence=0.3,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 512, 896, 3), dtype=np.uint8)
+    a = DesensitizationEngine(face, None, mosaic_backend="pallas").process_batch(frames)
+    b = DesensitizationEngine(face, None, mosaic_backend="xla").process_batch(frames)
+    np.testing.assert_array_equal(a.frames, b.frames)
