@@ -232,7 +232,67 @@ def config5():
             "frames": stats.frames, "videos": stats.videos_processed}
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+def config6():
+    """Multi-camera .record job with co-batching (frames from all cameras
+    share device batches — pipeline/multicam.py)."""
+    from video_desensitization_tpu.api.config import PipelineConfig
+    from video_desensitization_tpu.pipeline.video_pipeline import process_record_job
+    from video_desensitization_tpu.record.proto import sensor_image_pb2 as sp
+    from video_desensitization_tpu.record.topics import (
+        CAMERA_TOPICS,
+        COMPRESSED_IMAGE_TYPE,
+    )
+    from video_desensitization_tpu.record.writer import RecordWriter
+    from video_desensitization_tpu.video.av import (
+        PacketDemuxer,
+        VideoEncoder,
+        native_available,
+    )
+
+    if not native_available():
+        return {"config": 6, "skipped": "native av layer unavailable"}
+    pipe, _, _ = _engines()
+    n, n_topics = 30, 4
+    with tempfile.TemporaryDirectory() as d:
+        src_stream = os.path.join(d, "src.h265")
+        with VideoEncoder(src_stream, 1280, 720, fps=30, codec="libx265",
+                          bitrate=2_000_000, preset="ultrafast") as e:
+            for f in _noise_frames(n, 720, 1280):
+                e.write(f)
+        with PacketDemuxer(src_stream) as dm:
+            packets = dm.read_packets()
+        rec = os.path.join(d, "job.record")
+        with RecordWriter(rec) as w:
+            for t in CAMERA_TOPICS[:n_topics]:
+                w.write_channel(t, COMPRESSED_IMAGE_TYPE)
+            for i, p in enumerate(packets):
+                for t in CAMERA_TOPICS[:n_topics]:
+                    img = sp.CompressedImage(
+                        format="h265", data=p.data, measurement_time=i / 30
+                    )
+                    img.header.sequence_num = i
+                    w.write_message(t, img, 1_000_000_000 + i * 33_000_000)
+
+        cfg = PipelineConfig(
+            record_dir=rec,
+            output_h265_dir=os.path.join(d, "h265"),
+            output_videos_dir=os.path.join(d, "videos"),
+            temp_directory_base=os.path.join(d, "tmp"),
+            record_output_dir=os.path.join(d, "out"),
+            batch_size=16,
+            output_fps=30.0,
+            co_batch=True,
+        )
+        pipe.process_batch(_noise_frames(16, 720, 1280, seed=1))  # compile
+        t0 = time.perf_counter()
+        stats = process_record_job(cfg, pipe)
+        dt = time.perf_counter() - t0
+    return {"config": 6, "name": "record_multicam_cobatched", "fps": stats.frames / dt,
+            "frames": stats.frames, "videos": stats.videos_processed}
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
 
 
 def main(argv):
