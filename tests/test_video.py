@@ -115,3 +115,24 @@ def test_iter_frames_batching(tmp_path):
     assert [b.shape[0] for b in batches] == [4, 4, 2]
     assert batches[0].shape == (4, 64, 64, 3)
     assert batches[0].dtype == np.uint8
+
+
+@needs_native
+def test_decoder_buffer_capacity_contract(tmp_path):
+    """A raw stream larger than the initial buffer guess must grow-and-retry
+    cleanly (vdt_decoder_next capacity arg) — never write out of bounds."""
+    rng = np.random.default_rng(9)
+    src = str(tmp_path / "big.h265")
+    frames = [rng.integers(0, 255, (64, 96, 3), dtype=np.uint8) for _ in range(3)]
+    with VideoEncoder(src, 96, 64, fps=10, codec="libx265",
+                      preset="ultrafast", bitrate=200000) as e:
+        for f in frames:
+            e.write(f)
+    # Force the undersized-first-buffer path: pretend we expected 16x16.
+    with VideoDecoder(src, initial_guess_hw=(16, 16)) as dec:
+        got = list(dec)
+    assert len(got) == 3
+    assert got[0].shape == (64, 96, 3)
+    # And the normal oversized guess still works.
+    with VideoDecoder(src) as dec:
+        assert sum(1 for _ in dec) == 3

@@ -10,10 +10,12 @@ public API mirrors ``cyber_record.record.Record``: ``read_messages()`` yields
 
 from __future__ import annotations
 
+import bz2
 import os
 import struct
 from typing import Dict, Iterator, List, Optional, Tuple, Union
 
+from video_desensitization_tpu.record import lz4block
 from video_desensitization_tpu.record.proto import cyber_record_pb2 as rp
 from video_desensitization_tpu.record.proto import sensor_image_pb2 as sp
 from video_desensitization_tpu.record.topics import COMPRESSED_IMAGE_TYPE
@@ -65,7 +67,11 @@ class RecordReader:
             if first is None or first[0] != rp.SECTION_HEADER:
                 raise RecordException(f"{self.path}: missing record header")
             self.header.ParseFromString(first[1])
-            if self.header.compress not in (rp.COMPRESS_NONE,):
+            if self.header.compress not in (
+                rp.COMPRESS_NONE,
+                rp.COMPRESS_BZ2,
+                rp.COMPRESS_LZ4,
+            ):
                 raise RecordException(
                     f"unsupported compression: {self.header.compress}"
                 )
@@ -83,6 +89,14 @@ class RecordReader:
                     self._chunk_positions.append(pos)
                 # chunk headers / index are advisory for sequential reads
 
+    def _decompress_chunk(self, data: bytes, raw_size_hint: int = 0) -> bytes:
+        """Undo the header-declared chunk-body compression (NONE/BZ2/LZ4)."""
+        if self.header.compress == rp.COMPRESS_BZ2:
+            return bz2.decompress(data)
+        if self.header.compress == rp.COMPRESS_LZ4:
+            return lz4block.decompress(data, size_hint=raw_size_hint)
+        return data
+
     def read_messages(
         self, topics: Optional[Union[str, List[str]]] = None
     ) -> Iterator[Tuple[str, object, int]]:
@@ -93,15 +107,23 @@ class RecordReader:
         with open(self.path, "rb") as f:
             # Skip header.
             self._read_section(f)
+            raw_size_hint = 0
             while True:
                 sec = self._read_section(f)
                 if sec is None:
                     break
                 stype, data = sec
+                if stype == rp.SECTION_CHUNK_HEADER:
+                    ch_header = rp.ChunkHeader()
+                    ch_header.ParseFromString(data)
+                    # Sizing hint for LZ4 (raw message bytes; proto framing
+                    # adds a little on top — decompress() grows as needed).
+                    raw_size_hint = int(ch_header.raw_size * 1.25) + 4096
+                    continue
                 if stype != rp.SECTION_CHUNK_BODY:
                     continue
                 body = rp.ChunkBody()
-                body.ParseFromString(data)
+                body.ParseFromString(self._decompress_chunk(data, raw_size_hint))
                 for m in body.messages:
                     if want is not None and m.channel_name not in want:
                         continue

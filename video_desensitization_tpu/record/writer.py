@@ -2,9 +2,11 @@
 
 from __future__ import annotations
 
+import bz2
 import struct
 from typing import Dict, Optional
 
+from video_desensitization_tpu.record import lz4block
 from video_desensitization_tpu.record.proto import cyber_record_pb2 as rp
 from video_desensitization_tpu.record.reader import HEADER_LENGTH, SECTION_STRUCT
 
@@ -21,8 +23,12 @@ class RecordWriter:
         path: str,
         chunk_message_limit: int = 500,
         chunk_raw_size: int = DEFAULT_CHUNK_RAW_SIZE,
+        compress: int = rp.COMPRESS_NONE,
     ):
+        if compress not in (rp.COMPRESS_NONE, rp.COMPRESS_BZ2, rp.COMPRESS_LZ4):
+            raise ValueError(f"unsupported compression: {compress}")
         self.path = path
+        self._compress = compress
         self._f = open(path, "wb")
         self._chunk = rp.ChunkBody()
         self._chunk_raw = 0
@@ -36,7 +42,7 @@ class RecordWriter:
         self.header = rp.Header(
             major_version=MAJOR_VERSION,
             minor_version=MINOR_VERSION,
-            compress=rp.COMPRESS_NONE,
+            compress=compress,
             chunk_interval=DEFAULT_CHUNK_INTERVAL_NS,
             segment_interval=DEFAULT_SEGMENT_INTERVAL_NS,
             is_complete=False,
@@ -120,9 +126,12 @@ class RecordWriter:
         idx.chunk_header_cache.message_number = ch_header.message_number
         idx.chunk_header_cache.raw_size = ch_header.raw_size
 
-        pos = self._write_section(
-            rp.SECTION_CHUNK_BODY, self._chunk.SerializeToString()
-        )
+        body = self._chunk.SerializeToString()
+        if self._compress == rp.COMPRESS_BZ2:
+            body = bz2.compress(body)
+        elif self._compress == rp.COMPRESS_LZ4:
+            body = lz4block.compress(body)
+        pos = self._write_section(rp.SECTION_CHUNK_BODY, body)
         idx = self._index.indexes.add()
         idx.type = rp.SECTION_CHUNK_BODY
         idx.position = pos

@@ -47,7 +47,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_int64),
     ]
-    lib.vdt_decoder_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.vdt_decoder_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     lib.vdt_decoder_close.argtypes = [ctypes.c_void_p]
     lib.vdt_encoder_open.restype = ctypes.c_void_p
     lib.vdt_encoder_open.argtypes = [
@@ -89,8 +95,12 @@ def native_available() -> bool:
 class VideoDecoder:
     """Iterate RGB uint8 frames of a video file (container or raw .h265)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, initial_guess_hw: Tuple[int, int] = (2176, 3840)):
+        """initial_guess_hw sizes the first buffer for raw streams whose
+        dims are unknown until the first decode; a larger frame triggers one
+        clean grow-and-retry (never an out-of-bounds write)."""
         self.path = path
+        self._initial_guess_hw = initial_guess_hw
         self._lib = _load()
         self._h = None
         self._cap = None
@@ -124,33 +134,39 @@ class VideoDecoder:
 
     def __next__(self) -> np.ndarray:
         if self._h is not None:
-            # Raw .h265 streams report 0x0 until the first frame; size the
-            # buffer from codec info or generously retry after first decode.
-            if self.width == 0 or self.height == 0:
-                buf = np.empty((2176 * 3840 * 3,), np.uint8)
-                rc = self._lib.vdt_decoder_next(self._h, buf.ctypes.data)
-                if rc == 0:
-                    raise StopIteration
-                if rc < 0:
-                    raise IOError(self._lib.vdt_last_error().decode())
-                w = ctypes.c_int()
-                h = ctypes.c_int()
-                fps = ctypes.c_double()
-                n = ctypes.c_int64()
-                self._lib.vdt_decoder_info(self._h, w, h, fps, n)
-                self.width, self.height = w.value, h.value
-                return (
-                    buf[: self.height * self.width * 3]
-                    .reshape(self.height, self.width, 3)
-                    .copy()
+            # Raw .h265 streams report 0x0 until the first frame: start with
+            # a 4K-sized guess. vdt_decoder_next takes the buffer CAPACITY and
+            # fails cleanly with -3 (frame retained) when the decoded frame is
+            # larger — the exact dims come back in out_w/out_h, so one retry
+            # with a right-sized buffer always succeeds. No OOB writes for
+            # oversized streams or mid-stream resolution changes.
+            cap = self.height * self.width * 3
+            if cap == 0:
+                gh, gw = self._initial_guess_hw
+                cap = gh * gw * 3
+            # Allocate slack past the logical capacity: sws_scale's SIMD row
+            # writes can overshoot unaligned row ends by a few bytes.
+            slack = 256
+            out_w = ctypes.c_int()
+            out_h = ctypes.c_int()
+            buf = np.empty((cap + slack,), np.uint8)
+            rc = self._lib.vdt_decoder_next(
+                self._h, buf.ctypes.data, cap, out_w, out_h
+            )
+            if rc == -3:  # frame exceeds buffer: retry with exact capacity
+                cap = out_w.value * out_h.value * 3
+                buf = np.empty((cap + slack,), np.uint8)
+                rc = self._lib.vdt_decoder_next(
+                    self._h, buf.ctypes.data, cap, out_w, out_h
                 )
-            frame = np.empty((self.height, self.width, 3), np.uint8)
-            rc = self._lib.vdt_decoder_next(self._h, frame.ctypes.data)
             if rc == 0:
                 raise StopIteration
             if rc < 0:
                 raise IOError(self._lib.vdt_last_error().decode())
-            return frame
+            w, h = out_w.value, out_h.value
+            self.width, self.height = w, h
+            # Contiguous-slice view (no copy); keeps the slack alive via base.
+            return buf[: h * w * 3].reshape(h, w, 3)
         import cv2
 
         ok, frame = self._cap.read()

@@ -52,6 +52,7 @@ struct VdtDecoder {
     int width = 0, height = 0;
     bool draining = false;
     bool pending = false;  // pkt holds an unsent packet (send returned EAGAIN)
+    bool have_frame = false;  // frame decoded but not yet delivered (capacity retry)
 };
 
 extern "C" VdtDecoder *vdt_decoder_open(const char *path) {
@@ -98,70 +99,86 @@ extern "C" VdtDecoder *vdt_decoder_open(const char *path) {
 extern "C" int vdt_decoder_info(VdtDecoder *d, int *w, int *h, double *fps,
                                 int64_t *nframes) {
     AVStream *st = d->fmt->streams[d->stream_index];
-    *w = d->codec->width;
-    *h = d->codec->height;
+    *w = d->width ? d->width : d->codec->width;
+    *h = d->height ? d->height : d->codec->height;
     AVRational r = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
     *fps = r.den ? (double)r.num / r.den : 0.0;
     *nframes = st->nb_frames;  // 0 if unknown (raw elementary streams)
     return 0;
 }
 
-// Returns 1 when a frame was written to rgb_out (H*W*3, row-major),
-// 0 at EOF, <0 on error.
-extern "C" int vdt_decoder_next(VdtDecoder *d, uint8_t *rgb_out) {
+// Returns 1 when a frame was written to rgb_out (out_h*out_w*3, row-major),
+// 0 at EOF, -3 when the decoded frame exceeds `capacity` bytes (the frame is
+// retained; query the new dims via out_w/out_h or vdt_decoder_info, grow the
+// buffer and call again), other <0 on error. `capacity` is the writable size
+// of rgb_out in bytes — the decoder never writes past it (a stream larger
+// than the caller's buffer must fail cleanly, not corrupt memory).
+extern "C" int vdt_decoder_next(VdtDecoder *d, uint8_t *rgb_out,
+                                int64_t capacity, int *out_w, int *out_h) {
     int err;
-    while (true) {
-        err = avcodec_receive_frame(d->codec, d->frame);
-        if (err == 0) break;
-        if (err == AVERROR_EOF) return 0;
-        if (err != AVERROR(EAGAIN)) {
-            set_error("receive_frame failed", err);
-            return -1;
-        }
-        if (d->draining) return 0;
-        // Need more input: first retry a packet the codec refused earlier.
-        if (d->pending) {
-            err = avcodec_send_packet(d->codec, d->pkt);
-            if (err == 0) {
-                d->pending = false;
-                av_packet_unref(d->pkt);
-            } else if (err != AVERROR(EAGAIN)) {
-                av_packet_unref(d->pkt);
-                d->pending = false;
-                set_error("send_packet failed", err);
+    if (!d->have_frame) {
+        while (true) {
+            err = avcodec_receive_frame(d->codec, d->frame);
+            if (err == 0) break;
+            if (err == AVERROR_EOF) return 0;
+            if (err != AVERROR(EAGAIN)) {
+                set_error("receive_frame failed", err);
                 return -1;
             }
-            // On EAGAIN fall through to receive again with pkt still pending.
-            continue;
-        }
-        err = av_read_frame(d->fmt, d->pkt);
-        if (err == AVERROR_EOF) {
-            d->draining = true;
-            avcodec_send_packet(d->codec, nullptr);
-            continue;
-        }
-        if (err < 0) {
-            set_error("read_frame failed", err);
-            return -1;
-        }
-        if (d->pkt->stream_index == d->stream_index) {
-            err = avcodec_send_packet(d->codec, d->pkt);
-            if (err == AVERROR(EAGAIN)) {
-                d->pending = true;  // keep pkt; retry after draining a frame
+            if (d->draining) return 0;
+            // Need more input: first retry a packet the codec refused earlier.
+            if (d->pending) {
+                err = avcodec_send_packet(d->codec, d->pkt);
+                if (err == 0) {
+                    d->pending = false;
+                    av_packet_unref(d->pkt);
+                } else if (err != AVERROR(EAGAIN)) {
+                    av_packet_unref(d->pkt);
+                    d->pending = false;
+                    set_error("send_packet failed", err);
+                    return -1;
+                }
+                // On EAGAIN fall through to receive again, pkt still pending.
+                continue;
+            }
+            err = av_read_frame(d->fmt, d->pkt);
+            if (err == AVERROR_EOF) {
+                d->draining = true;
+                avcodec_send_packet(d->codec, nullptr);
                 continue;
             }
             if (err < 0) {
-                av_packet_unref(d->pkt);
-                set_error("send_packet failed", err);
+                set_error("read_frame failed", err);
                 return -1;
             }
+            if (d->pkt->stream_index == d->stream_index) {
+                err = avcodec_send_packet(d->codec, d->pkt);
+                if (err == AVERROR(EAGAIN)) {
+                    d->pending = true;  // keep pkt; retry after draining
+                    continue;
+                }
+                if (err < 0) {
+                    av_packet_unref(d->pkt);
+                    set_error("send_packet failed", err);
+                    return -1;
+                }
+            }
+            av_packet_unref(d->pkt);
         }
-        av_packet_unref(d->pkt);
+        d->have_frame = true;
     }
 
     int w = d->frame->width, h = d->frame->height;
     d->width = w;
     d->height = h;
+    if (out_w) *out_w = w;
+    if (out_h) *out_h = h;
+    if ((int64_t)3 * w * h > capacity) {
+        set_error("decoded frame " + std::to_string(w) + "x" +
+                  std::to_string(h) + " exceeds buffer capacity " +
+                  std::to_string(capacity) + " bytes");
+        return -3;  // frame kept; caller may grow the buffer and retry
+    }
     d->sws = sws_getCachedContext(d->sws, w, h, (AVPixelFormat)d->frame->format,
                                   w, h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
                                   nullptr, nullptr);
@@ -170,6 +187,7 @@ extern "C" int vdt_decoder_next(VdtDecoder *d, uint8_t *rgb_out) {
     sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, h, dst,
               dst_linesize);
     av_frame_unref(d->frame);
+    d->have_frame = false;
     return 1;
 }
 
