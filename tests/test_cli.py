@@ -17,11 +17,13 @@ needs_native = pytest.mark.skipif(
 )
 
 
-def _tiny_config(tmp_path):
+def _tiny_config(tmp_path, model_path="random", model_weights="random"):
     # Minimal config so build_engine uses small models (fast CPU compile).
+    # 'random' is the explicit random-weights opt-in (tests have no ckpts).
     ini = tmp_path / "config.ini"
     ini.write_text(
-        "[PATHS]\nmodel_path=\nmodel_weights=\nrecord_dir=\n"
+        f"[PATHS]\nmodel_path={model_path}\nmodel_weights={model_weights}\n"
+        "record_dir=\n"
         "output_h265_dir=\noutput_videos_dir=\ntemp_directory_base=\n"
         "record_output_dir=\n"
         "[SETTINGS]\nbatch_size=4\n"
@@ -29,6 +31,20 @@ def _tiny_config(tmp_path):
         "confidence=0.01\n"
     )
     return str(ini)
+
+
+def test_cli_refuses_random_weights_without_optin(tmp_path):
+    """Empty model paths must error out, not silently run un-desensitized."""
+    from video_desensitization_tpu.api.config import load_config
+    from video_desensitization_tpu.cli.main import build_engine
+
+    cfg = load_config(_tiny_config(tmp_path, model_path="", model_weights=""),
+                      strict=False)
+    with pytest.raises(ValueError, match="RANDOM weights"):
+        build_engine(cfg, with_plates=False)
+    # Explicit opt-in paths still construct.
+    cfg2 = load_config(_tiny_config(tmp_path), strict=False)
+    assert build_engine(cfg2, with_plates=False) is not None
 
 
 @needs_native

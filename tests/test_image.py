@@ -66,3 +66,25 @@ def test_preprocess_batch_device_shapes_dtype():
     out = preprocess_batch_device(frames, (640, 640), dtype=jnp.bfloat16)
     assert out.shape == (2, 640, 640, 3)
     assert out.dtype == jnp.bfloat16
+
+
+def test_letterbox_geometry_matches_host_for_awkward_shapes():
+    """Host f64 geometry vs device f32 floor: 1077-tall at 640 is the known
+    divergent case (host nh=639; f32 floor gives 640). letterbox_geometry
+    must return the host value — device programs consume it as an input."""
+    from video_desensitization_tpu.ops.image import (
+        letterbox_geometry,
+        letterbox_params,
+    )
+
+    shapes = np.array([[1077, 1077], [1080, 1920], [720, 1280], [30, 60]])
+    geom = letterbox_geometry(shapes.astype(np.float32), (640, 640))
+    for row, (ih, iw) in zip(geom, shapes):
+        assert tuple(row.astype(int)) == letterbox_params(
+            (int(ih), int(iw)), (640, 640)
+        )
+    # The divergent case really diverges under f32 arithmetic
+    # (1077x1077 source: f64 truncation gives 639, f32 floor gives 640):
+    scale32 = np.float32(640.0) / np.float32(1077.0)
+    assert int(np.floor(np.float32(1077) * scale32)) == 640  # f32: wrong
+    assert int(geom[0, 0]) == 639  # host truth

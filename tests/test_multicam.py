@@ -59,7 +59,9 @@ def test_cobatched_streams_roundtrip(tmp_path):
 
 
 @needs_native
-def test_cobatched_dead_encoder_raises_instead_of_hanging(tmp_path):
+def test_cobatched_failed_camera_is_isolated(tmp_path):
+    """One dead encoder must not hang the job or kill other cameras:
+    the failed stream is marked with .error, the rest complete."""
     face = Retinaface(
         model_path=None,
         backbone="mobilenet",
@@ -71,13 +73,51 @@ def test_cobatched_dead_encoder_raises_instead_of_hanging(tmp_path):
     )
     engine = TieredPipeline(face, None, mosaic_level=8)
     rng = np.random.default_rng(1)
-    src = str(tmp_path / "cam.mp4")
+    jobs = {}
+    for cam in ("good", "bad"):
+        src = str(tmp_path / f"{cam}.mp4")
+        with VideoEncoder(src, 128, 64, fps=10, codec="mpeg4") as e:
+            for i in range(6):
+                e.write(rng.integers(0, 255, (64, 128, 3), dtype=np.uint8))
+        jobs[cam] = (src, str(tmp_path / f"{cam}_out.mp4"))
+    jobs["bad"] = (jobs["bad"][0], "/nonexistent_dir_zz/out.mp4")
+
+    stats = process_videos_cobatched(jobs, engine, batch_size=4)
+    assert stats["bad"].error is not None
+    assert stats["good"].error is None
+    assert stats["good"].frames == 6
+    with VideoDecoder(jobs["good"][1]) as dec:
+        assert sum(1 for _ in dec) == 6
+
+
+@needs_native
+def test_cobatched_dead_decoder_is_isolated(tmp_path):
+    """A camera whose source can't be decoded fails alone."""
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.01,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.float32,
+    )
+    engine = TieredPipeline(face, None, mosaic_level=8)
+    rng = np.random.default_rng(3)
+    src = str(tmp_path / "good.mp4")
     with VideoEncoder(src, 128, 64, fps=10, codec="mpeg4") as e:
-        for i in range(6):
+        for i in range(5):
             e.write(rng.integers(0, 255, (64, 128, 3), dtype=np.uint8))
-    jobs = {"cam": (src, "/nonexistent_dir_zz/out.mp4")}
-    with pytest.raises(Exception):
-        process_videos_cobatched(jobs, engine, batch_size=4)
+    garbage = str(tmp_path / "bad.mp4")
+    with open(garbage, "wb") as f:
+        f.write(b"not a video at all")
+    jobs = {
+        "good": (src, str(tmp_path / "good_out.mp4")),
+        "bad": (garbage, str(tmp_path / "bad_out.mp4")),
+    }
+    stats = process_videos_cobatched(jobs, engine, batch_size=4)
+    assert stats["bad"].error is not None
+    assert stats["good"].frames == 5
 
 
 @needs_native

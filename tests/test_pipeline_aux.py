@@ -22,12 +22,30 @@ def test_manifest_roundtrip(tmp_path):
     # Reload from disk (fresh process).
     m2 = JobManifest(out)
     assert m2.is_done("/x/topic_rear.h265")
-    assert m2.done["topic_rear.h265"]["frames"] == 10
+    assert m2.done["/x/topic_rear.h265"]["frames"] == 10
 
     # Output deleted -> not done (forces reprocessing).
     produced.unlink()
     m3 = JobManifest(out)
     assert not m3.is_done("/x/topic_rear.h265")
+
+
+def test_manifest_same_basename_different_dirs(tmp_path):
+    """Two streams with the same filename in different subdirs must not
+    collide in the manifest (keys are root-relative paths)."""
+    root = str(tmp_path / "hevcs")
+    os.makedirs(os.path.join(root, "a"))
+    os.makedirs(os.path.join(root, "b"))
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    m = JobManifest(out, root=root)
+
+    produced = tmp_path / "out" / "cam_processed.h265"
+    produced.write_bytes(b"x")
+    m.mark(os.path.join(root, "a", "cam.h265"), str(produced), frames=5)
+    assert m.is_done(os.path.join(root, "a", "cam.h265"))
+    assert not m.is_done(os.path.join(root, "b", "cam.h265"))
+    assert set(m.done) == {os.path.join("a", "cam.h265")}
 
 
 def test_manifest_corrupt_file_ignored(tmp_path):

@@ -60,12 +60,16 @@ def test_plate_letterboxed_matches_native_on_square(plate):
     pixels (no-op letterbox, no repad) and must agree exactly."""
     rng = np.random.default_rng(3)
     frames = rng.integers(0, 255, (2, 128, 128, 3), dtype=np.uint8)
+    from video_desensitization_tpu.ops.image import letterbox_geometry
+
     dets_a, keep_a = map(np.asarray, plate.detect_padded(frames))
     shapes = np.full((2, 2), 128.0, np.float32)
+    geom = letterbox_geometry(shapes, plate.input_hw)
     dets_b, keep_b = map(
         np.asarray,
         plate._detect_letterboxed_program(
-            plate.variables, jnp.asarray(frames), jnp.asarray(shapes)
+            plate.variables, jnp.asarray(frames), jnp.asarray(shapes),
+            jnp.asarray(geom)
         ),
     )
     np.testing.assert_array_equal(keep_a, keep_b)

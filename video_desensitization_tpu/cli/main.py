@@ -21,7 +21,38 @@ import jax
 import jax.numpy as jnp
 
 
-def build_engine(cfg, with_plates: bool = True):
+def _resolve_checkpoint(path, allow_random: bool, what: str):
+    """Return a checkpoint path, or None for explicitly-sanctioned random init.
+
+    A desensitization run with randomly-initialized detectors blurs nothing
+    while reporting success — a silent privacy failure. Empty model paths in
+    the config are therefore an error in the CLI path; random init requires
+    an explicit opt-in (path set to the literal ``random``, or
+    ``--allow-random-weights``). Library/bench construction with
+    ``model_path=None`` is unaffected.
+    """
+    from video_desensitization_tpu.utils.logging import get_logger
+
+    stripped = (path or "").strip()
+    if stripped and stripped.lower() != "random":
+        return stripped
+    if not allow_random and stripped.lower() != "random":
+        raise ValueError(
+            f"no {what} checkpoint configured (empty model path). Refusing to "
+            "run the desensitization job with RANDOM weights — the output "
+            "would not be blurred. Set the checkpoint path in config.ini, or "
+            "opt in explicitly with the literal path 'random' or "
+            "--allow-random-weights."
+        )
+    get_logger("cli").warning(
+        "%s detector initialized with RANDOM weights (explicit opt-in) — "
+        "output will NOT be meaningfully desensitized",
+        what,
+    )
+    return None
+
+
+def build_engine(cfg, with_plates: bool = True, allow_random: bool = False):
     from video_desensitization_tpu.detect.face import Retinaface
     from video_desensitization_tpu.detect.plate import PlateDetector
     from video_desensitization_tpu.parallel.mesh import make_mesh
@@ -37,7 +68,7 @@ def build_engine(cfg, with_plates: bool = True):
         mesh = make_mesh(data=cfg.mesh_data)
 
     face = Retinaface(
-        model_path=cfg.model_path or None,  # "" in the ini = no checkpoint
+        model_path=_resolve_checkpoint(cfg.model_path, allow_random, "face"),
         backbone="resnet50",
         confidence=cfg.confidence,
         nms_iou=cfg.nms_iou,
@@ -48,7 +79,9 @@ def build_engine(cfg, with_plates: bool = True):
     plate = None
     if with_plates:
         plate = PlateDetector(
-            model_path=cfg.model_weights or None,
+            model_path=_resolve_checkpoint(
+                cfg.model_weights, allow_random, "plate"
+            ),
             confidence=cfg.plate_confidence,
             input_shape=(cfg.input_size, cfg.input_size),
             dtype=dtype,
@@ -81,6 +114,12 @@ def main(argv=None) -> int:
     p.add_argument("--out", help="output path (video) or directory (images)")
     p.add_argument("--no-plates", action="store_true")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument(
+        "--allow-random-weights",
+        action="store_true",
+        help="explicitly allow running with randomly-initialized detectors "
+        "(testing only; output will NOT be desensitized)",
+    )
     args = p.parse_args(argv)
 
     log = setup_logger()
@@ -96,7 +135,11 @@ def main(argv=None) -> int:
         cfg.batch_size = args.batch_size
 
     t0 = time.time()
-    engine = build_engine(cfg, with_plates=not args.no_plates)
+    engine = build_engine(
+        cfg,
+        with_plates=not args.no_plates,
+        allow_random=args.allow_random_weights,
+    )
 
     if args.video:
         from video_desensitization_tpu.pipeline.streaming import process_video_stream

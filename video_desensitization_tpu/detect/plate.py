@@ -87,27 +87,32 @@ class PlateDetector:
         out = jnp.where(keep[..., None], out, jnp.zeros_like(out))
         return out, keep
 
-    def _detect_letterboxed_program(self, variables, lb_frames_u8, image_shapes):
+    def _detect_letterboxed_program(
+        self, variables, lb_frames_u8, image_shapes, lb_geom
+    ):
         """Detect on frames already letterboxed to ``input_hw`` on the host.
 
         The link-optimal tiered pipeline (pipeline/throughput.py) letterboxes
         on the host (8.4x fewer bytes over the host->device link for 1080p)
         and shares ONE gray-128 canvas between both detectors. Here the pad
-        region is re-filled with YOLO's 114 gray (geometry derived per image
-        from ``image_shapes``), and boxes are mapped back to original pixels
-        by the dynamic inverse letterbox transform.
+        region is re-filled with YOLO's 114 gray, and boxes are mapped back
+        to original pixels by the inverse letterbox transform.
 
         lb_frames_u8: (B, h, w, 3) uint8, already letterboxed.
         image_shapes: (B, 2) float32 [orig_h, orig_w].
+        lb_geom: (B, 4) float32 [nh, nw, top, left] — the HOST-computed
+        geometry (ops.image.letterbox_geometry). Must not be re-derived on
+        device: float32 floor can disagree with the host placement by one
+        pixel for some source heights, shifting the 114-repad mask and the
+        inverse-transform gain.
         """
         h, w = self.input_hw
         oh = image_shapes[:, 0:1]  # (B, 1)
         ow = image_shapes[:, 1:2]
-        scale = jnp.minimum(w / ow, h / oh)  # (B, 1)
-        nw = jnp.floor(ow * scale)
-        nh = jnp.floor(oh * scale)
-        top = jnp.floor((h - nh) / 2.0)
-        left = jnp.floor((w - nw) / 2.0)
+        nh = lb_geom[:, 0:1]
+        nw = lb_geom[:, 1:2]
+        top = lb_geom[:, 2:3]
+        left = lb_geom[:, 3:4]
 
         ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]  # (1, h, 1)
         xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]  # (1, 1, w)

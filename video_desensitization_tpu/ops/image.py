@@ -47,6 +47,22 @@ def letterbox_params(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
     return nh, nw, top, left
 
 
+def letterbox_geometry(image_shapes, dst_hw: Tuple[int, int]) -> np.ndarray:
+    """Host-exact per-image letterbox geometry for a batch.
+
+    image_shapes: (B, 2) [orig_h, orig_w] -> (B, 4) float32
+    [nh, nw, top, left] via ``letterbox_params`` (float64/int arithmetic).
+    Device programs take this as an input instead of re-deriving it in
+    float32, which can disagree with the host placement by one pixel for
+    some source heights (e.g. 1077-tall at 640: host nh=639, f32 floor 640).
+    """
+    shapes = np.asarray(image_shapes)
+    out = np.empty((shapes.shape[0], 4), np.float32)
+    for i, (ih, iw) in enumerate(shapes):
+        out[i] = letterbox_params((int(ih), int(iw)), dst_hw)
+    return out
+
+
 def letterbox_host(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     """Reference-exact letterbox. ``size`` is (width, height) like the reference.
 

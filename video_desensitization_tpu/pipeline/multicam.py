@@ -44,6 +44,9 @@ class CameraStats:
     frames: int = 0
     faces: int = 0
     plates: int = 0
+    # Set when this camera's decode/encode failed; the stream's output is
+    # incomplete and must not be marked done. Other cameras keep going.
+    error: Optional[str] = None
 
 
 def _abortable_put(q: "queue.Queue", item, abort: threading.Event) -> bool:
@@ -77,9 +80,13 @@ def process_videos_cobatched(
         cam: queue.Queue(maxsize=queue_depth) for cam in jobs
     }
     stats = {cam: CameraStats() for cam in jobs}
-    errors: List[Exception] = []
-    abort = threading.Event()
+    abort = threading.Event()  # device-program / fatal errors only
     meta: Dict[str, dict] = {}
+
+    # Per-camera decode/encode failures are ISOLATED: the camera is marked
+    # failed (stats[cam].error) and its stream dropped, while every other
+    # camera keeps processing. ``abort`` is reserved for device-program
+    # errors, which poison all in-flight batches.
 
     def decode_worker(cam: str, path: str):
         try:
@@ -89,8 +96,8 @@ def process_videos_cobatched(
                     if not _abortable_put(frame_q, (cam, frame), abort):
                         return
         except Exception as e:  # noqa: BLE001
-            errors.append(e)
-            abort.set()
+            log.error("decode failed for camera %s: %s", cam, e)
+            stats[cam].error = f"decode: {e}"
         finally:
             _abortable_put(frame_q, (cam, _DONE), abort)
 
@@ -111,8 +118,8 @@ def process_videos_cobatched(
                     )
                 enc.write(item)
         except Exception as e:  # noqa: BLE001
-            errors.append(e)
-            abort.set()
+            log.error("encode failed for camera %s: %s", cam, e)
+            stats[cam].error = stats[cam].error or f"encode: {e}"
             # Keep draining so producers never block on a dead encoder.
             while enc_qs[cam].get() is not _DONE:
                 pass
@@ -121,8 +128,8 @@ def process_videos_cobatched(
                 try:
                     enc.close()
                 except Exception as e:  # noqa: BLE001
-                    errors.append(e)
-                    abort.set()
+                    log.error("encoder close failed for camera %s: %s", cam, e)
+                    stats[cam].error = stats[cam].error or f"encode close: {e}"
 
     dec_threads = [
         threading.Thread(target=decode_worker, args=(cam, src), daemon=True)
@@ -161,6 +168,8 @@ def process_videos_cobatched(
         for (cam, _), blurred, fb, pb in zip(
             done_items, res.frames, res.face_boxes, res.plate_boxes
         ):
+            if stats[cam].error:  # dead camera: its encoder is draining
+                continue
             if not _abortable_put(enc_qs[cam], blurred, abort):
                 return
             stats[cam].frames += 1
@@ -169,40 +178,48 @@ def process_videos_cobatched(
 
     groups: Dict[Tuple[int, int], List[Tuple[str, np.ndarray]]] = {}
     live = set(jobs)
-    while live and not abort.is_set():
-        try:
-            cam, item = frame_q.get(timeout=0.25)
-        except queue.Empty:
-            continue  # re-check abort/live (a dead decoder can't put _DONE)
-        if item is _DONE:
-            live.discard(cam)
-            if not live:
-                for shape_hw in list(groups):
-                    if groups[shape_hw]:
-                        submit(groups.pop(shape_hw))
-            continue
-        key = item.shape[:2]
-        groups.setdefault(key, []).append((cam, item))
-        if len(groups[key]) >= batch_size:
-            submit(groups.pop(key))
-        while len(pending) > inflight:
-            done_items, fut = pending.pop(0)
-            route(done_items, fut.result())
-    for done_items, fut in pending:
-        if not abort.is_set():
-            route(done_items, fut.result())
-    finalizer.shutdown(wait=True)
-
-    for q_ in enc_qs.values():
-        _abortable_put(q_, _DONE, abort) or q_.put(_DONE)
-    for t in enc_threads:
-        t.join()
-    for t in dec_threads:
-        t.join()
-    if errors:
-        raise errors[0]
+    try:
+        while live and not abort.is_set():
+            try:
+                cam, item = frame_q.get(timeout=0.25)
+            except queue.Empty:
+                continue  # re-check abort/live (a dead decoder can't put _DONE)
+            if item is _DONE:
+                live.discard(cam)
+                if not live:
+                    for shape_hw in list(groups):
+                        if groups[shape_hw]:
+                            submit(groups.pop(shape_hw))
+                continue
+            if stats[cam].error:
+                continue  # dead camera: drop queued frames, keep others going
+            key = item.shape[:2]
+            groups.setdefault(key, []).append((cam, item))
+            if len(groups[key]) >= batch_size:
+                submit(groups.pop(key))
+            while len(pending) > inflight:
+                done_items, fut = pending.pop(0)
+                route(done_items, fut.result())
+        for done_items, fut in pending:
+            if not abort.is_set():
+                route(done_items, fut.result())
+    except Exception:
+        # Device-program failure poisons everything in flight.
+        abort.set()
+        raise
+    finally:
+        finalizer.shutdown(wait=True)
+        for q_ in enc_qs.values():
+            _abortable_put(q_, _DONE, abort) or q_.put(_DONE)
+        for t in enc_threads:
+            t.join()
+        for t in dec_threads:
+            t.join()
     log.info(
         "multicam done: %s",
-        {c: (s.frames, s.faces, s.plates) for c, s in stats.items()},
+        {
+            c: (s.frames, s.faces, s.plates, s.error)
+            for c, s in stats.items()
+        },
     )
     return stats

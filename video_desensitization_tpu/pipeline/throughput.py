@@ -142,7 +142,7 @@ class TieredPipeline:
         h, w = self.input_hw
         transfer = self.transfer
 
-        def program(face_vars, plate_vars, content_u8, image_shapes):
+        def program(face_vars, plate_vars, content_u8, image_shapes, lb_geom):
             # Rebuild the gray-128 letterbox canvas on device: the host sends
             # only the resized content (pad geometry is static under jit).
             if transfer == "yuv420":
@@ -163,7 +163,7 @@ class TieredPipeline:
             )
             if plate is not None:
                 plate_px, plate_keep = plate._detect_letterboxed_program(
-                    plate_vars, lb_frames_u8, image_shapes
+                    plate_vars, lb_frames_u8, image_shapes, lb_geom
                 )
             else:
                 plate_px = jnp.zeros((lb_frames_u8.shape[0], 1, 6), jnp.float32)
@@ -201,12 +201,16 @@ class TieredPipeline:
 
     def dispatch(self, lb_frames: np.ndarray, image_shapes: np.ndarray):
         """Async: enqueue transfer + device program; returns device futures."""
+        from video_desensitization_tpu.ops.image import letterbox_geometry
+
         plate_vars = self.plate.variables if self.plate is not None else None
+        geom = letterbox_geometry(image_shapes, self.input_hw)
         return self._program(
             self.face.variables,
             plate_vars,
             jnp.asarray(lb_frames),
             jnp.asarray(image_shapes),
+            jnp.asarray(geom),
         )
 
     def finalize(self, frames: np.ndarray, device_out) -> TieredResult:

@@ -87,8 +87,9 @@ class JobManifest:
 
     NAME = ".vdt_manifest.json"
 
-    def __init__(self, output_dir: str):
+    def __init__(self, output_dir: str, root: Optional[str] = None):
         self.path = os.path.join(output_dir, self.NAME)
+        self.root = root
         self.done: Dict[str, dict] = {}
         if os.path.exists(self.path):
             try:
@@ -97,12 +98,22 @@ class JobManifest:
             except (OSError, ValueError):
                 self.done = {}
 
+    def _key(self, src_path: str) -> str:
+        # Keyed by path relative to the job root (not basename): two videos
+        # with the same filename in different subdirs must not collide.
+        if self.root:
+            try:
+                return os.path.relpath(src_path, self.root)
+            except ValueError:
+                pass
+        return os.path.abspath(src_path)
+
     def is_done(self, src_path: str) -> bool:
-        entry = self.done.get(os.path.basename(src_path))
+        entry = self.done.get(self._key(src_path))
         return bool(entry) and os.path.exists(entry.get("output", ""))
 
     def mark(self, src_path: str, output_path: str, **stats) -> None:
-        self.done[os.path.basename(src_path)] = {"output": output_path, **stats}
+        self.done[self._key(src_path)] = {"output": output_path, **stats}
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.done, f, indent=1)
@@ -133,7 +144,11 @@ def process_record_job(
     read_record2h265_all(config.record_dir, config.output_h265_dir)
     hevc_dir = os.path.join(config.output_h265_dir, HEVC_SUBDIR)
     os.makedirs(config.output_videos_dir, exist_ok=True)
-    manifest = JobManifest(config.output_videos_dir) if config.resume else None
+    manifest = (
+        JobManifest(config.output_videos_dir, root=hevc_dir)
+        if config.resume
+        else None
+    )
 
     if config.co_batch:
         from video_desensitization_tpu.pipeline.multicam import (
@@ -175,6 +190,11 @@ def process_record_job(
             jobs, engine, batch_size=config.batch_size, fps=config.output_fps
         )
         for name, cs in cam_stats.items():
+            if cs.error:
+                log.error("camera %s failed (%s); output incomplete", name,
+                          cs.error)
+                stats.videos_failed += 1
+                continue
             stats.videos_processed += 1
             stats.frames += cs.frames
             stats.faces += cs.faces
