@@ -185,3 +185,102 @@ def test_full_repack_roundtrip(tmp_path, hevc_packets):
     with VideoDecoder(str(tmp_stream)) as dec:
         n = sum(1 for _ in dec)
     assert n == len(hevc_packets)
+
+
+def _varied_frames(n, h=96, w=160):
+    """Moving-gradient frames: enough temporal structure for x265 at preset
+    medium to emit B-frames (flat gray fixtures never trigger reordering)."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        f = ((xs * 2 + ys + i * 17) % 256).astype(np.uint8)
+        frames.append(np.stack([f, np.roll(f, i, axis=1), f[::-1]], axis=-1))
+    return frames
+
+
+@needs_native
+def test_repack_is_bframe_safe(tmp_path):
+    """Repack must write packets in DECODE order: with B-frames present
+    (decode order != presentation order), the repacked record's payload
+    stream must decode frame-accurately, identical to a direct re-encode."""
+    from video_desensitization_tpu.video.av import HEVC_DEFAULTS
+
+    n = 24
+    frames = _varied_frames(n)
+
+    # Prove these frames at the repack settings (libx265 preset medium)
+    # really produce B-frames: in a container (where pts/dts survive) the
+    # encoder must emit at least one reordered packet. Raw Annex-B streams
+    # carry no timestamps, so this probe is the B-frame evidence.
+    probe = str(tmp_path / "probe.mp4")
+    with VideoEncoder(probe, 160, 96, fps=30, **HEVC_DEFAULTS) as e:
+        for f in frames:
+            e.write(f)
+    with PacketDemuxer(probe) as dm:
+        probe_pkts = dm.read_packets()
+    assert any(
+        p.dts is not None and p.pts is not None and p.dts != p.pts
+        for p in probe_pkts
+    ), "fixture has no B-frames"
+
+    # Source record: n messages per topic (payload content is irrelevant to
+    # the pairing logic; use a tiny valid HEVC stream split per message).
+    src_h265 = str(tmp_path / "src.h265")
+    with VideoEncoder(src_h265, 160, 96, fps=30, **HEVC_DEFAULTS) as e:
+        for f in frames:
+            e.write(f)
+    with PacketDemuxer(src_h265) as dm:
+        src_pkts = dm.read_packets()
+    assert len(src_pkts) == n
+
+    topics = CAMERA_TOPICS[:1]
+    rec = str(tmp_path / "t.record")
+    _write_record(rec, src_pkts, topics, extra_channel=False)
+
+    # "Processed" output video (mp4) with the same frame count.
+    processed = tmp_path / "processed"
+    processed.mkdir()
+    out_mp4 = str(processed / "topic_front_narrow_processed.mp4")
+    with VideoEncoder(out_mp4, 160, 96, fps=30, codec="mpeg4",
+                      bitrate=4_000_000) as e:
+        for f in frames:
+            e.write(f)
+
+    outdir = tmp_path / "out"
+    final = write_allH265_record_all(rec, str(processed), str(outdir))
+    assert final
+
+    # Reassemble the repacked payload stream and decode it.
+    msgs = list(RecordReader(final).read_messages(topics[0]))
+    assert len(msgs) == n
+    stream = b"".join(bytes(m[1].data) for m in msgs)
+    repacked = tmp_path / "repacked.h265"
+    repacked.write_bytes(stream)
+    with VideoDecoder(str(repacked)) as dec:
+        got = list(dec)
+    assert len(got) == n
+
+    # Reference result: decode the mp4 and re-encode with the same repack
+    # settings ourselves (x265 is deterministic) — frame-accurate match.
+    ref_h265 = str(tmp_path / "ref.h265")
+    with VideoDecoder(out_mp4) as dec:
+        decoded_mp4 = list(dec)
+    with VideoEncoder(ref_h265, 160, 96, fps=30, **HEVC_DEFAULTS) as e:
+        for f in decoded_mp4:
+            e.write(f)
+    with VideoDecoder(ref_h265) as dec:
+        expect = list(dec)
+    assert len(expect) == n
+    for a, b in zip(got, expect):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_reconcile_with_timeline_counts_and_truncation(caplog):
+    rp_ = ReadPacket()
+    pkts = [FramePacket(b"a"), FramePacket(b"b"), FramePacket(b"c")]
+    out = rp_.reconcile_with_timeline(pkts, [(100, 1), (200, 2)])
+    assert len(out) == 2
+    assert (out[0].time, out[0].sequence_num) == (100, 1)
+    assert (out[1].time, out[1].sequence_num) == (200, 2)
+    out2 = rp_.reconcile_with_timeline(pkts[:1], [(5, 9)])
+    assert len(out2) == 1 and out2[0].time == 5

@@ -91,6 +91,37 @@ class ReadPacket:
         )
         return [p for _, _, p in sorted_frames]
 
+    def reconcile_with_timeline(
+        self,
+        packets: List[FramePacket],
+        timeline: Sequence[Tuple[int, int]],
+    ) -> List[FramePacket]:
+        """Pair decode-order packets with the original record timeline.
+
+        ``timeline`` is [(time_ns, sequence_num), ...] from the original
+        record messages — the authoritative ordering (the reference's
+        fix_missing_pts uses the record's time/sequence_num/header rather
+        than stream pts, SURVEY C3). Record payloads are an elementary
+        stream, so record order == decode order: the i-th packet takes the
+        i-th message's time and sequence. Count mismatches are logged and
+        truncated to the shorter side (never pair a packet with the wrong
+        timestamp).
+        """
+        if len(packets) != len(timeline):
+            self.log.warning(
+                "packet/timeline length mismatch: %d packets vs %d record "
+                "messages; truncating to %d",
+                len(packets),
+                len(timeline),
+                min(len(packets), len(timeline)),
+            )
+        out = []
+        for p, (t, seq) in zip(packets, timeline):
+            p.time = t
+            p.sequence_num = seq
+            out.append(p)
+        return out
+
     def process_frames_reader(
         self, messages: Sequence[Tuple[object, int]]
     ) -> Tuple[bytes, List[FramePacket]]:

@@ -47,14 +47,21 @@ def match_topics_and_hevcs(output_videos_dir: str) -> Dict[str, str]:
 
 def _reencode_to_hevc_packets(video_path: str, log) -> List:
     """Re-encode a processed video to HEVC (10 Mbps / medium) and demux the
-    resulting packets in decode order."""
+    resulting packets in DECODE order.
+
+    Decode order is the only correct order for record payloads: the record's
+    concatenated message payloads form an Annex-B elementary stream, and HEVC
+    at preset medium emits B-frames (decode order != presentation order).
+    Sorting to presentation order here would produce an undecodable or
+    frame-shuffled stream on repack."""
     if not os.path.exists(video_path) or os.path.getsize(video_path) == 0:
         log.error("Video file is empty or not exists: %s", video_path)
         return []
     rp = ReadPacket()
     if video_path.lower().endswith((".h265", ".hevc", ".265")):
-        # Already an elementary HEVC stream with the right payloads.
-        return rp.fix_missing_pts(rp.read_packet(video_path))
+        # Already an elementary HEVC stream with the right payloads;
+        # demux order = stream order = decode order.
+        return rp.read_packet(video_path)
     with tempfile.NamedTemporaryFile(suffix=".h265", delete=False) as tmp:
         tmp_path = tmp.name
     try:
@@ -70,7 +77,7 @@ def _reencode_to_hevc_packets(video_path: str, log) -> List:
                 enc.write(first)
                 for frame in dec:
                     enc.write(frame)
-        return rp.fix_missing_pts(rp.read_packet(tmp_path))
+        return rp.read_packet(tmp_path)
     finally:
         if os.path.exists(tmp_path):
             os.remove(tmp_path)
@@ -104,28 +111,40 @@ def write_allH265_record_all(
         topic_packets[topic] = pkts
 
     out_path = None
+    dropped = {t: 0 for t in topic_packets}  # original frames left unpaired
+    msg_totals = {t: 0 for t in topic_packets}
+    # One packet stream per topic spans the whole record SET: segment 1's
+    # messages continue where segment 0's left off (the processed video is
+    # the concatenation of all segments), so the cursor must not reset.
+    cursor = {t: 0 for t in topic_packets}
     for record_path in records:
         reader = RecordReader(record_path)
         out_path = os.path.join(
             record_output_dir, os.path.basename(record_path)
         )
-        cursor = {t: 0 for t in topic_packets}
-        with RecordWriter(out_path) as writer:
+        with RecordWriter(out_path, compress=reader.header.compress) as writer:
             for name, ch in reader.channels.items():
                 writer.write_channel(name, ch.message_type, ch.proto_desc)
             for topic, msg, t in reader.read_messages():
                 if topic in topic_packets and hasattr(msg, "data"):
+                    msg_totals[topic] += 1
                     i = cursor[topic]
                     pkts = topic_packets[topic]
                     if i < len(pkts):
+                        # The record timeline (message time/sequence order)
+                        # is authoritative: the i-th surviving message keeps
+                        # its header/time, its payload becomes the i-th
+                        # decode-order packet (reference fix_missing_pts /
+                        # process_frames_write semantics, SURVEY C3).
                         new_msg = type(msg)()
                         new_msg.CopyFrom(msg)
                         new_msg.data = bytes(pkts[i].data)
                         cursor[topic] = i + 1
                         writer.write_message(topic, new_msg, t)
                         continue
-                    # More original frames than desensitized packets: drop the
-                    # tail rather than leak raw frames.
+                    # More original frames than desensitized packets: drop
+                    # the tail rather than leak raw frames.
+                    dropped[topic] += 1
                     continue
                 writer.write_message(
                     topic,
@@ -141,4 +160,21 @@ def write_allH265_record_all(
             "added to: %s",
             out_path,
         )
+    for topic, n_drop in dropped.items():
+        if n_drop:
+            log.warning(
+                "topic %s: dropped %d/%d original frames (fewer desensitized "
+                "packets than record messages)",
+                topic,
+                n_drop,
+                msg_totals[topic],
+            )
+        unused = len(topic_packets[topic]) - cursor.get(topic, 0)
+        if unused > 0:
+            log.warning(
+                "topic %s: %d desensitized packets unused (more packets than "
+                "record messages)",
+                topic,
+                unused,
+            )
     return out_path
