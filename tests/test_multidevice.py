@@ -75,3 +75,81 @@ def test_engine_mesh_matches_single_device(face):
     # unsharded compilations (different fusion/layout choices).
     for ba, bb in zip(a.face_boxes, b.face_boxes):
         np.testing.assert_allclose(np.array(ba), np.array(bb), rtol=1e-5, atol=1e-3)
+
+
+def test_record_job_cobatched_on_mesh(face, tmp_path):
+    """The FULL record job (unpack -> co-batched fused engine sharded over
+    the 8-device mesh -> repack) on the virtual mesh — the multi-chip
+    deployment shape of the reference pipeline (VERDICT r1 item 9)."""
+    import os
+
+    from video_desensitization_tpu.api.config import PipelineConfig
+    from video_desensitization_tpu.pipeline.video_pipeline import (
+        process_record_job,
+    )
+    from video_desensitization_tpu.record.proto import sensor_image_pb2 as sp
+    from video_desensitization_tpu.record.reader import RecordReader
+    from video_desensitization_tpu.record.topics import (
+        CAMERA_TOPICS,
+        COMPRESSED_IMAGE_TYPE,
+    )
+    from video_desensitization_tpu.record.writer import RecordWriter
+    from video_desensitization_tpu.video.av import (
+        PacketDemuxer,
+        VideoDecoder,
+        VideoEncoder,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native av layer unavailable")
+
+    # Synthetic 2-camera record.
+    src = str(tmp_path / "in" / "job.record")
+    (tmp_path / "in").mkdir()
+    h265 = str(tmp_path / "src.h265")
+    with VideoEncoder(h265, 64, 64, fps=30, codec="libx265",
+                      bitrate=200000, preset="ultrafast") as e:
+        for i in range(8):
+            e.write(np.full((64, 64, 3), i * 25, np.uint8))
+    with PacketDemuxer(h265) as dm:
+        pkts = dm.read_packets()
+    topics = CAMERA_TOPICS[:2]
+    with RecordWriter(src) as w:
+        for t in topics:
+            w.write_channel(t, COMPRESSED_IMAGE_TYPE)
+        for i, p in enumerate(pkts):
+            for t in topics:
+                img = sp.CompressedImage(format="h265", data=p.data)
+                img.header.sequence_num = i
+                w.write_message(t, img, 10**9 + i * 33_000_000)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    engine = DesensitizationEngine(face, None, mosaic_level=8, mesh=mesh)
+
+    cfg = PipelineConfig(
+        record_dir=str(tmp_path / "in"),
+        output_h265_dir=str(tmp_path / "h265"),
+        output_videos_dir=str(tmp_path / "videos"),
+        temp_directory_base=str(tmp_path / "tmp"),
+        record_output_dir=str(tmp_path / "out"),
+        batch_size=4,
+        co_batch=True,
+        output_fps=30.0,
+    )
+    stats = process_record_job(cfg, engine)
+
+    assert stats.videos_processed == 2
+    assert stats.videos_failed == 0
+    assert stats.frames == 2 * len(pkts)
+    assert stats.record_path and os.path.exists(stats.record_path)
+    # Repacked record: every camera message replaced, stream decodable.
+    r = RecordReader(stats.record_path)
+    for t in topics:
+        msgs = list(r.read_messages(t))
+        assert len(msgs) == len(pkts)
+        stream = tmp_path / "check.h265"
+        stream.write_bytes(b"".join(bytes(m[1].data) for m in msgs))
+        with VideoDecoder(str(stream)) as dec:
+            assert sum(1 for _ in dec) == len(pkts)

@@ -147,3 +147,46 @@ def test_full_net_shapes_and_decode():
     # bounded by REG_MAX-1=15 grid cells).
     cx = (b[0, :, 0] + b[0, :, 2]) / 2
     assert cx.min() >= -15 * 32 and cx.max() <= 192 + 15 * 32
+
+
+def test_yolo_full_network_parity_vs_ultralytics_layout():
+    """Converter + Flax graph vs a torch oracle in the real ultralytics
+    state_dict layout (model.{i}.*, C2f chunk splits, SPPF, Detect cv2/cv3,
+    DFL) — the YOLO analog of test_resnet50_full_network_parity
+    (VERDICT r1 item 7)."""
+    import torch
+
+    from tests.torch_oracle import TYoloV8Oracle, _randomize_bn_stats
+    from video_desensitization_tpu.models.convert import convert_yolo_state_dict
+    from video_desensitization_tpu.models.yolo import YoloV8
+
+    gen = torch.Generator().manual_seed(7)
+    oracle = TYoloV8Oracle(nc=1)
+    with torch.no_grad():
+        for p in oracle.parameters():
+            if p.requires_grad:
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+        _randomize_bn_stats(oracle, gen)
+        # keep the DFL projection fixed to arange (ultralytics semantics)
+        oracle.model[22].dfl.conv.weight.copy_(
+            torch.arange(16, dtype=torch.float).view(1, 16, 1, 1)
+        )
+    oracle.eval()
+
+    rng = np.random.default_rng(11)
+    x = rng.random((2, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_boxes, t_probs = oracle(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        )
+
+    variables = convert_yolo_state_dict(oracle.state_dict())
+    net = YoloV8(num_classes=1, variant="n", dtype=jnp.float32)
+    j_boxes, j_probs = net.apply(variables, jnp.asarray(x), train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(j_probs), t_probs.numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_boxes), t_boxes.numpy(), rtol=1e-3, atol=2e-3
+    )

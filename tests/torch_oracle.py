@@ -152,3 +152,197 @@ def _randomize_bn_stats(model, gen):
             m.bias.data.copy_(torch.randn(m.bias.shape, generator=gen) * 0.1)
 
 
+
+
+# --------------------------------------------------------------------------
+# YOLOv8 torch oracle (ultralytics DetectionModel layout, test-only).
+# Written from the public YOLOv8 architecture description; attribute names
+# reproduce the ultralytics state_dict key layout (model.{i}.conv/bn,
+# cv1/cv2, m.{j}, Detect cv2/cv3 ModuleLists, dfl.conv) so
+# convert_yolo_state_dict can be validated against a real-format graph.
+# --------------------------------------------------------------------------
+
+
+class TYoloConv(tnn.Module):
+    def __init__(self, cin, cout, k=1, s=1):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, s, k // 2, bias=False)
+        self.bn = tnn.BatchNorm2d(cout, eps=1e-3, momentum=0.03)
+
+    def forward(self, x):
+        return F.silu(self.bn(self.conv(x)))
+
+
+class TYoloBottleneck(tnn.Module):
+    def __init__(self, c, shortcut=True):
+        super().__init__()
+        self.cv1 = TYoloConv(c, c, 3, 1)
+        self.cv2 = TYoloConv(c, c, 3, 1)
+        self.add = shortcut
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class TC2f(tnn.Module):
+    def __init__(self, cin, cout, n=1, shortcut=False):
+        super().__init__()
+        self.c = cout // 2
+        self.cv1 = TYoloConv(cin, cout, 1, 1)
+        self.cv2 = TYoloConv((2 + n) * self.c, cout, 1, 1)
+        self.m = tnn.ModuleList(TYoloBottleneck(self.c, shortcut) for _ in range(n))
+
+    def forward(self, x):
+        y = list(self.cv1(x).chunk(2, 1))
+        y.extend(m(y[-1]) for m in self.m)
+        return self.cv2(torch.cat(y, 1))
+
+
+class TSPPF(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        c_ = cin // 2
+        self.cv1 = TYoloConv(cin, c_, 1, 1)
+        self.cv2 = TYoloConv(c_ * 4, cout, 1, 1)
+        self.mpool = tnn.MaxPool2d(5, 1, 2)
+
+    def forward(self, x):
+        x = self.cv1(x)
+        y1 = self.mpool(x)
+        y2 = self.mpool(y1)
+        return self.cv2(torch.cat([x, y1, y2, self.mpool(y2)], 1))
+
+
+class TDFL(tnn.Module):
+    def __init__(self, c1=16):
+        super().__init__()
+        self.conv = tnn.Conv2d(c1, 1, 1, bias=False).requires_grad_(False)
+        self.conv.weight.data[:] = torch.arange(c1, dtype=torch.float).view(
+            1, c1, 1, 1
+        )
+        self.c1 = c1
+
+    def forward(self, x):
+        b, _, a = x.shape  # (B, 4*c1, A)
+        return self.conv(
+            x.view(b, 4, self.c1, a).transpose(2, 1).softmax(1)
+        ).view(b, 4, a)
+
+
+class TDetect(tnn.Module):
+    def __init__(self, nc, ch, reg_max=16):
+        super().__init__()
+        self.nc = nc
+        self.reg_max = reg_max
+        c2 = max(16, ch[0] // 4, reg_max * 4)
+        c3 = max(ch[0], min(nc, 100))
+        self.cv2 = tnn.ModuleList(
+            tnn.Sequential(
+                TYoloConv(c, c2, 3, 1),
+                TYoloConv(c2, c2, 3, 1),
+                tnn.Conv2d(c2, 4 * reg_max, 1),
+            )
+            for c in ch
+        )
+        self.cv3 = tnn.ModuleList(
+            tnn.Sequential(
+                TYoloConv(c, c3, 3, 1),
+                TYoloConv(c3, c3, 3, 1),
+                tnn.Conv2d(c3, nc, 1),
+            )
+            for c in ch
+        )
+        self.dfl = TDFL(reg_max)
+
+    def forward(self, feats, strides=(8, 16, 32)):
+        # inference path: per-scale raw maps -> flatten -> DFL decode
+        shapes = [f.shape for f in feats]
+        raw = [
+            torch.cat((self.cv2[i](f), self.cv3[i](f)), 1) for i, f in enumerate(feats)
+        ]
+        flat = torch.cat([r.view(r.shape[0], r.shape[1], -1) for r in raw], 2)
+        box_raw, cls_raw = flat.split((4 * self.reg_max, self.nc), 1)
+        # anchor centers per scale
+        pts, strs = [], []
+        for (b_, c_, h, w), s in zip(shapes, strides):
+            sy = torch.arange(h, dtype=torch.float) + 0.5
+            sx = torch.arange(w, dtype=torch.float) + 0.5
+            gy, gx = torch.meshgrid(sy, sx, indexing="ij")
+            pts.append(torch.stack((gx, gy), -1).view(-1, 2))
+            strs.append(torch.full((h * w, 1), float(s)))
+        anchor_points = torch.cat(pts).transpose(0, 1)  # (2, A)
+        stride_t = torch.cat(strs).transpose(0, 1)  # (1, A)
+        dist = self.dfl(box_raw)  # (B, 4, A)
+        lt, rb = dist.chunk(2, 1)
+        x1y1 = anchor_points.unsqueeze(0) - lt
+        x2y2 = anchor_points.unsqueeze(0) + rb
+        boxes = torch.cat((x1y1, x2y2), 1) * stride_t
+        return boxes.transpose(1, 2), cls_raw.sigmoid().transpose(1, 2)
+
+
+class TYoloV8Oracle(tnn.Module):
+    """ultralytics-layout YOLOv8 (variant 'n' by default)."""
+
+    def __init__(self, nc=1, w=0.25, d=1 / 3, r=2.0):
+        super().__init__()
+        import math as _math
+
+        def _w(c):
+            return max(8, int(_math.ceil(c * w / 8) * 8))
+
+        def _d(n):
+            return max(1, round(n * d))
+
+        c64, c128, c256, c512 = _w(64), _w(128), _w(256), _w(512)
+        c_last = int(c512 * r)
+        n3, n6 = _d(3), _d(6)
+        self.model = tnn.ModuleList(
+            [
+                TYoloConv(3, c64, 3, 2),  # 0
+                TYoloConv(c64, c128, 3, 2),  # 1
+                TC2f(c128, c128, n3, True),  # 2
+                TYoloConv(c128, c256, 3, 2),  # 3
+                TC2f(c256, c256, n6, True),  # 4
+                TYoloConv(c256, c512, 3, 2),  # 5
+                TC2f(c512, c512, n6, True),  # 6
+                TYoloConv(c512, c_last, 3, 2),  # 7
+                TC2f(c_last, c_last, n3, True),  # 8
+                TSPPF(c_last, c_last),  # 9
+                tnn.Upsample(scale_factor=2, mode="nearest"),  # 10
+                tnn.Identity(),  # 11 Concat
+                TC2f(c_last + c512, c512, n3, False),  # 12
+                tnn.Upsample(scale_factor=2, mode="nearest"),  # 13
+                tnn.Identity(),  # 14 Concat
+                TC2f(c512 + c256, c256, n3, False),  # 15
+                TYoloConv(c256, c256, 3, 2),  # 16
+                tnn.Identity(),  # 17 Concat
+                TC2f(c256 + c512, c512, n3, False),  # 18
+                TYoloConv(c512, c512, 3, 2),  # 19
+                tnn.Identity(),  # 20 Concat
+                TC2f(c512 + c_last, c_last, n3, False),  # 21
+                TDetect(nc, (c256, c512, c_last)),  # 22
+            ]
+        )
+
+    def forward(self, x):
+        m = self.model
+        y = m[0](x)
+        y = m[1](y)
+        y = m[2](y)
+        y = m[3](y)
+        p3 = m[4](y)
+        y = m[5](p3)
+        p4 = m[6](y)
+        y = m[7](p4)
+        y = m[8](y)
+        p5 = m[9](y)
+        u = torch.cat([m[10](p5), p4], 1)
+        h4 = m[12](u)
+        u = torch.cat([m[13](h4), p3], 1)
+        h3 = m[15](u)
+        dn = m[16](h3)
+        h4b = m[18](torch.cat([dn, h4], 1))
+        dn = m[19](h4b)
+        h5 = m[21](torch.cat([dn, p5], 1))
+        return m[22]([h3, h4b, h5])
