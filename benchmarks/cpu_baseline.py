@@ -8,7 +8,8 @@ combine_detect.py's hot loop. Run standalone:
 
     JAX_PLATFORMS=cpu python benchmarks/cpu_baseline.py [n_frames]
 
-Prints one JSON line {"cpu_fps": ...}.
+Prints one JSON line {"cpu_fps": ..., "n_frames": N, "per_frame_s": {...}}
+with per-frame mean/std/min/max so the denominator's variance is on record.
 """
 
 import json
@@ -28,7 +29,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
-def main(n_frames: int = 4) -> float:
+def main(n_frames: int = 20):
     import cv2
     import jax.numpy as jnp
 
@@ -51,8 +52,9 @@ def main(n_frames: int = 4) -> float:
     frames = [
         rng.integers(0, 255, (1080, 1920, 3), dtype=np.uint8) for _ in range(n_frames)
     ]
-    t0 = time.time()
+    per_frame = []
     for f in frames:
+        t0 = time.time()
         x = letterbox_host(f, (640, 640)).astype(np.float32)
         x -= np.array((104, 117, 123), np.float32)
         loc, conf, landm = jax.block_until_ready(
@@ -67,10 +69,20 @@ def main(n_frames: int = 4) -> float:
         keep = conf[:, 1] >= 0.5
         boxes = (boxes[keep] * [1920, 1080, 1920, 1080]).astype(int)[:8]
         mosaic_host_reference(f, boxes.tolist())
-    dt = time.time() - t0
-    return n_frames / dt
+        per_frame.append(time.time() - t0)
+    per_frame = np.asarray(per_frame)
+    return {
+        "cpu_fps": round(n_frames / float(per_frame.sum()), 4),
+        "n_frames": n_frames,
+        "per_frame_s": {
+            "mean": round(float(per_frame.mean()), 4),
+            "std": round(float(per_frame.std()), 4),
+            "min": round(float(per_frame.min()), 4),
+            "max": round(float(per_frame.max()), 4),
+        },
+    }
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    print(json.dumps({"cpu_fps": main(n)}))
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    print(json.dumps(main(n)))
