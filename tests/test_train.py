@@ -87,3 +87,50 @@ def test_sharded_step_matches_single_device():
     l1 = jax.tree.leaves(s1.params)[0]
     l2 = jax.tree.leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_roundtrip_and_mesh_restore(tmp_path):
+    """Orbax TrainState round-trip: save after one step, restore bit-exact;
+    restore WITH a mesh places leaves in the train-step sharding layout and
+    the resumed step continues from the saved step count."""
+    from video_desensitization_tpu.train.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    model = RetinaFace(cfg=cfg_mnet, mode="train", dtype=jnp.float32)
+    anchors = generate_anchors(HW, min_sizes=cfg_mnet["min_sizes"],
+                               steps=cfg_mnet["steps"])
+    a = num_anchors(HW, steps=cfg_mnet["steps"])
+    batch = _batch(8, a)
+
+    tx = optax.sgd(1e-2, momentum=0.9)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), HW, tx)
+    step = make_train_step(model, tx, anchors)
+    state, _ = step(state, batch)
+
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, state)
+
+    # Plain restore: bit-exact tree equality.
+    template, _ = create_train_state(model, jax.random.PRNGKey(1), HW, tx)
+    restored = restore_train_state(path, template)
+    assert int(restored.step) == 1
+    for x, y in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(
+        jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # Mesh restore: sharded placement + a continued step matches the
+    # unsharded continuation.
+    mesh = make_mesh()
+    restored_m = restore_train_state(path, template, mesh=mesh)
+    assert len(jax.tree.leaves(restored_m.params)[0].sharding.device_set) >= 1
+    step_m = make_train_step(model, tx, anchors, mesh=mesh)
+    cont_m, mm = step_m(restored_m, batch)
+    cont, m = step(state, batch)
+    assert int(cont_m.step) == int(cont.step) == 2
+    np.testing.assert_allclose(float(mm["loss"]), float(m["loss"]),
+                               rtol=1e-5, atol=1e-5)
