@@ -74,14 +74,16 @@ def main() -> None:
         max_detections=8,
         dtype=jnp.bfloat16,
     )
-    # transfer=yuv420 halves link bytes but costs a host cv2 conversion —
-    # a loss on this single-core host (measured 7.6 vs 9.0 fps), a win when
-    # host cores are plentiful and the link is the bottleneck.
+    # transfer=yuv420 halves link bytes for one host cv2 conversion. On the
+    # h2d-bound tunnel (44 MB/s measured) it wins decisively: same-session
+    # A/B at batch 32 measured 34.5 fps (yuv420) vs 20.7 fps (rgb). The
+    # sources are H.265 4:2:0, so chroma re-subsampling loses nothing the
+    # codec stored.
     pipe = TieredPipeline(
         face,
         plate,
         mosaic_level=8,
-        transfer=os.environ.get("BENCH_TRANSFER", "rgb"),
+        transfer=os.environ.get("BENCH_TRANSFER", "yuv420"),
     )
 
     rng = np.random.default_rng(0)
