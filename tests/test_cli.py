@@ -83,3 +83,53 @@ def test_cli_images_mode(tmp_path):
     outs = sorted(os.listdir(outdir))
     assert len(outs) == 3
     assert all(f.startswith("processed_") for f in outs)
+
+
+@needs_native
+def test_cli_record_job_end_to_end(tmp_path):
+    """The config-driven record-job branch of the CLI: unpack -> detect ->
+    mosaic -> repack through main([config.ini]) (reference __main__ flow)."""
+    from video_desensitization_tpu.record.proto import sensor_image_pb2 as sp
+    from video_desensitization_tpu.record.reader import RecordReader
+    from video_desensitization_tpu.record.topics import (
+        CAMERA_TOPICS,
+        COMPRESSED_IMAGE_TYPE,
+    )
+    from video_desensitization_tpu.record.writer import RecordWriter
+    from video_desensitization_tpu.video.av import PacketDemuxer
+
+    h265 = str(tmp_path / "src.h265")
+    with VideoEncoder(h265, 64, 64, fps=30, codec="libx265",
+                      bitrate=200000, preset="ultrafast") as e:
+        for i in range(6):
+            e.write(np.full((64, 64, 3), i * 30, np.uint8))
+    with PacketDemuxer(h265) as dm:
+        pkts = dm.read_packets()
+    (tmp_path / "in").mkdir()
+    rec = str(tmp_path / "in" / "job.record")
+    topic = CAMERA_TOPICS[0]
+    with RecordWriter(rec) as w:
+        w.write_channel(topic, COMPRESSED_IMAGE_TYPE)
+        for i, p in enumerate(pkts):
+            img = sp.CompressedImage(format="h265", data=p.data)
+            img.header.sequence_num = i
+            w.write_message(topic, img, 10**9 + i * 33_000_000)
+
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        "[PATHS]\nmodel_path=random\nmodel_weights=random\n"
+        f"record_dir={tmp_path / 'in'}\n"
+        f"output_h265_dir={tmp_path / 'h265'}\n"
+        f"output_videos_dir={tmp_path / 'videos'}\n"
+        f"temp_directory_base={tmp_path / 'tmp'}\n"
+        f"record_output_dir={tmp_path / 'out'}\n"
+        "[SETTINGS]\nbatch_size=4\n"
+        "[TPU]\ninput_size=128\nmax_detections=8\ndtype=float32\n"
+        "confidence=0.01\noutput_fps=30\n"
+    )
+    rc = main([str(ini), "--no-plates"])
+    assert rc == 0
+    final = tmp_path / "out" / "job.record"
+    assert final.exists()
+    msgs = list(RecordReader(str(final)).read_messages(topic))
+    assert len(msgs) == len(pkts)

@@ -145,3 +145,24 @@ def test_cobatched_with_fused_engine(tmp_path):
     assert stats["cam"].frames == n
     with VideoDecoder(out) as dec:
         assert sum(1 for _ in dec) == n
+
+
+@needs_native
+def test_cobatched_device_error_aborts_everything(tmp_path):
+    """A device-program failure (unlike a per-camera codec failure) must
+    poison the whole job: raise to the caller, no hang, threads joined."""
+
+    class FailingEngine:
+        def process_batch(self, frames):
+            raise RuntimeError("device program exploded")
+
+    rng = np.random.default_rng(4)
+    jobs = {}
+    for cam in ("a", "b"):
+        src = str(tmp_path / f"{cam}.mp4")
+        with VideoEncoder(src, 128, 64, fps=10, codec="mpeg4") as e:
+            for i in range(6):
+                e.write(rng.integers(0, 255, (64, 128, 3), dtype=np.uint8))
+        jobs[cam] = (src, str(tmp_path / f"{cam}_out.mp4"))
+    with pytest.raises(RuntimeError, match="device program exploded"):
+        process_videos_cobatched(jobs, FailingEngine(), batch_size=4)

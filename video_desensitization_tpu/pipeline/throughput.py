@@ -250,29 +250,75 @@ class TieredPipeline:
         lb = self.letterbox_batch(frames)
         return self.finalize(frames, self.dispatch(lb, shapes))
 
-    # -- double-buffered stream ----------------------------------------------
+    # -- pipelined stream -------------------------------------------------
     def process_stream(
         self, batches: Iterable[np.ndarray], depth: int = 2
     ) -> Iterator[TieredResult]:
-        """Pipeline an iterable of uint8 NHWC batches.
+        """Pipeline an iterable of uint8 NHWC batches through three
+        overlapped stages:
 
-        Keeps up to ``depth`` batches in flight, and runs finalize (device
-        fetch + host mosaic) on a worker thread: the fetch blocks with the
-        GIL released, so the main thread letterboxes and dispatches the next
-        batch during the wait.
+          main thread    : letterbox batch N+1 (cv2 pool, GIL released)
+          dispatch thread: host->device transfer + program enqueue of batch N
+                           (the h2d copy blocks with the GIL released, so it
+                           runs concurrently with the next letterbox)
+          finalize thread: device fetch + host mosaic of batch N-1
+
+        Keeps up to ``depth`` batches in flight at each stage boundary;
+        results come back in order.
         """
-        worker = ThreadPoolExecutor(max_workers=1)
-        pending: List = []  # finalize futures, in order
+        import queue as _queue
+        import threading as _threading
+
+        work_q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+        out_q: "_queue.Queue" = _queue.Queue()
+        finalizer = ThreadPoolExecutor(max_workers=1)
+        _DONE = object()
+
+        def dispatcher():
+            try:
+                while True:
+                    item = work_q.get()
+                    if item is _DONE:
+                        out_q.put(_DONE)
+                        return
+                    frames, lb, shapes = item
+                    fut = self.dispatch(lb, shapes)
+                    out_q.put(finalizer.submit(self.finalize, frames, fut))
+            except BaseException as e:  # noqa: BLE001
+                out_q.put(e)
+
+        t = _threading.Thread(target=dispatcher, daemon=True)
+        t.start()
+        in_flight = 0
+
+        def _drain_one():
+            nonlocal in_flight
+            got = out_q.get()
+            if isinstance(got, BaseException):
+                raise got
+            assert got is not _DONE
+            in_flight -= 1
+            return got.result()
+
         try:
             for frames in batches:
                 b, h, w, _ = frames.shape
                 shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
                 lb = self.letterbox_batch(frames)
-                fut = self.dispatch(lb, shapes)
-                pending.append(worker.submit(self.finalize, frames, fut))
-                if len(pending) > depth:
-                    yield pending.pop(0).result()
-            for f in pending:
-                yield f.result()
+                work_q.put((frames, lb, shapes))
+                in_flight += 1
+                if in_flight > depth:
+                    yield _drain_one()
+            work_q.put(_DONE)
+            while in_flight:
+                yield _drain_one()
+            got = out_q.get()
+            if isinstance(got, BaseException):
+                raise got
         finally:
-            worker.shutdown(wait=False)
+            # Unblock the dispatcher on early generator close.
+            try:
+                work_q.put_nowait(_DONE)
+            except _queue.Full:
+                pass
+            finalizer.shutdown(wait=False)
