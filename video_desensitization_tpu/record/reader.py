@@ -31,7 +31,12 @@ class RecordException(Exception):
 def _parse_payload(message_type: str, content: bytes):
     if message_type == COMPRESSED_IMAGE_TYPE:
         img = sp.CompressedImage()
-        img.ParseFromString(content)
+        try:
+            img.ParseFromString(content)
+        except Exception:  # malformed message: surface raw bytes, don't kill
+            # the whole record iteration (reference logs "The record ...
+            # data exception" per message and continues, SURVEY §3.4)
+            return content
         return img
     return content
 
@@ -43,6 +48,7 @@ class RecordReader:
         if not os.path.exists(path):
             raise RecordException(f"record not found: {path}")
         self.path = path
+        self._file_size = os.path.getsize(path)
         self.header = rp.Header()
         self.channels: Dict[str, rp.Channel] = {}
         self._chunk_positions: List[int] = []
@@ -53,7 +59,19 @@ class RecordReader:
         if len(raw) < SECTION_STRUCT.size:
             return None
         stype, size = SECTION_STRUCT.unpack(raw)
+        # Sanity-check before trusting an attacker/corruption-controlled
+        # int64 (a garbage "size" must not drive a huge allocation).
+        if size < 0 or size > self._file_size or stype < 0 or stype > 4:
+            raise RecordException(
+                f"{self.path}: corrupt section framing "
+                f"(type={stype}, size={size})"
+            )
         if stype == rp.SECTION_HEADER:
+            if size > HEADER_LENGTH:
+                raise RecordException(
+                    f"{self.path}: header section size {size} exceeds the "
+                    f"fixed {HEADER_LENGTH}-byte header region"
+                )
             data = f.read(HEADER_LENGTH)
             return stype, data[:size]
         data = f.read(size)
