@@ -116,19 +116,10 @@ def process_video_stream(
     t_enc.start()
 
     timer = StageTimer()
-    while True:
-        with timer.stage("wait_decode"):
-            batch = in_q.get()
-        if batch is _SENTINEL:
-            break
-        with timer.stage("device"):
-            res = engine.process_batch(batch)
-        stats.frames += batch.shape[0]
-        stats.faces += res.num_faces
-        stats.plates += res.num_plates
-        with timer.stage("wait_encode"):
-            out_q.put(res.frames)
-    out_q.put(_SENTINEL)
+    try:
+        _run_device_stage(engine, in_q, out_q, stats, timer)
+    finally:
+        out_q.put(_SENTINEL)  # even on error: never strand the encoder
     t_enc.join()
     t_dec.join()
     if errors:
@@ -147,3 +138,38 @@ def process_video_stream(
         stats.fps,
     )
     return stats
+
+
+def _run_device_stage(engine, in_q, out_q, stats, timer):
+    if hasattr(engine, "process_stream"):
+        # Tiered engine: hand the whole batch stream over so its 3-stage
+        # pipeline (letterbox ∥ h2d transfer ∥ fetch+mosaic) overlaps
+        # device compute across batches — process_batch would serialize
+        # letterbox -> transfer -> compute -> fetch per batch.
+        def batches():
+            while True:
+                b = in_q.get()
+                if b is _SENTINEL:
+                    return
+                yield b
+
+        with timer.stage("stream"):
+            for res in engine.process_stream(batches(), depth=2):
+                stats.frames += res.frames.shape[0]
+                stats.faces += res.num_faces
+                stats.plates += res.num_plates
+                with timer.stage("wait_encode"):
+                    out_q.put(res.frames)
+    else:
+        while True:
+            with timer.stage("wait_decode"):
+                batch = in_q.get()
+            if batch is _SENTINEL:
+                break
+            with timer.stage("device"):
+                res = engine.process_batch(batch)
+            stats.frames += batch.shape[0]
+            stats.faces += res.num_faces
+            stats.plates += res.num_plates
+            with timer.stage("wait_encode"):
+                out_q.put(res.frames)
