@@ -154,7 +154,7 @@ def _run_device_stage(engine, in_q, out_q, stats, timer):
                 yield b
 
         with timer.stage("stream"):
-            for res in engine.process_stream(batches(), depth=2):
+            for res in engine.process_stream(batches(), depth=3):
                 stats.frames += res.frames.shape[0]
                 stats.faces += res.num_faces
                 stats.plates += res.num_plates
