@@ -136,3 +136,30 @@ def test_decoder_buffer_capacity_contract(tmp_path):
     # And the normal oversized guess still works.
     with VideoDecoder(src) as dec:
         assert sum(1 for _ in dec) == 3
+
+
+@needs_native
+def test_batch_convert_videos_and_codec_probe(tmp_path):
+    from video_desensitization_tpu.video.frames import (
+        batch_convert_videos,
+        check_available_codecs,
+        check_h265_support,
+    )
+
+    rng = np.random.default_rng(2)
+    indir = tmp_path / "vids"
+    indir.mkdir()
+    for name, n in (("a.mp4", 4), ("b.mp4", 3)):
+        with VideoEncoder(str(indir / name), 64, 48, fps=10, codec="mpeg4") as e:
+            for i in range(n):
+                e.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    (indir / "notes.txt").write_text("skip me")
+    outdir = tmp_path / "frames"
+    videos, frames = batch_convert_videos(str(indir), str(outdir))
+    assert (videos, frames) == (2, 7)
+    assert sorted(os.listdir(outdir / "a")) == [
+        f"frame_{i:06d}.jpg" for i in range(1, 5)
+    ]
+    probe = check_available_codecs()
+    assert probe["mpeg4"] is True
+    assert isinstance(check_h265_support(), bool)

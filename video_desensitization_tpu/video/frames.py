@@ -107,3 +107,60 @@ def create_video(
 def video_info(video_path: str) -> Tuple[int, int, float, Optional[int]]:
     with VideoDecoder(video_path) as dec:
         return dec.width, dec.height, dec.fps, dec.nframes
+
+
+def batch_convert_videos(
+    input_dir: str,
+    output_parent_dir: str,
+    video_format: str = "h265,hevc,265,mp4,mov,avi",
+    interval: int = 1,
+) -> Tuple[int, int]:
+    """Extract frames for every matching video under ``input_dir`` into
+    ``<output_parent_dir>/<video_stem>/`` (reference video2picture.py:82-142
+    contract). Returns (videos_converted, total_frames)."""
+    log = get_logger("extract")
+    exts = {e.strip().lower().lstrip(".") for e in video_format.split(",") if e.strip()}
+    videos = 0
+    frames = 0
+    for root, _dirs, files in os.walk(input_dir):
+        for name in sorted(files):
+            if name.rsplit(".", 1)[-1].lower() not in exts:
+                continue
+            src = os.path.join(root, name)
+            dst = os.path.join(output_parent_dir, os.path.splitext(name)[0])
+            try:
+                n = convert_video_to_frames(src, dst, interval=interval)
+            except Exception as e:  # noqa: BLE001
+                log.error("failed to convert %s: %s", src, e)
+                continue
+            videos += 1
+            frames += n
+    log.info("converted %d videos (%d frames) under %s", videos, frames, input_dir)
+    return videos, frames
+
+
+def check_available_codecs(codecs: Tuple[str, ...] = ("libx265", "libx264", "mpeg4", "mjpeg")):
+    """Probe encoders by test-opening writers (reference
+    combine_detect.py:53-89 / video2picture.py check_h265_support).
+    Returns {codec: bool}."""
+    import tempfile
+
+    log = get_logger("codecs")
+    out = {}
+    with tempfile.TemporaryDirectory() as d:
+        for codec in codecs:
+            ext = ".avi" if codec == "mjpeg" else ".mp4"
+            path = os.path.join(d, f"probe_{codec}{ext}")
+            try:
+                with VideoEncoder(path, 64, 64, fps=10, codec=codec) as e:
+                    e.write(np.zeros((64, 64, 3), np.uint8))
+                out[codec] = True
+            except Exception:  # noqa: BLE001
+                out[codec] = False
+    log.info("available codecs: %s", out)
+    return out
+
+
+def check_h265_support() -> bool:
+    """True when HEVC encode is available (reference video2picture.py:5-31)."""
+    return check_available_codecs(("libx265",)).get("libx265", False)
