@@ -71,3 +71,29 @@ def test_engine_backends_agree_on_hardware():
     a = DesensitizationEngine(face, None, mosaic_backend="pallas").process_batch(frames)
     b = DesensitizationEngine(face, None, mosaic_backend="xla").process_batch(frames)
     np.testing.assert_array_equal(a.frames, b.frames)
+
+
+def test_tiered_yuv420_program_on_hardware():
+    """The i420->RGB device conversion + shared-canvas tiered program must
+    compile and detect comparably to the rgb-content path on chip (the
+    bench's default transfer mode)."""
+    import jax.numpy as jnp
+
+    from video_desensitization_tpu.detect.face import Retinaface
+    from video_desensitization_tpu.pipeline.throughput import TieredPipeline
+
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.01,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 96, 160, 3), dtype=np.uint8)
+    a = TieredPipeline(face, None, mosaic_level=8, transfer="rgb").process_batch(frames)
+    b = TieredPipeline(face, None, mosaic_level=8, transfer="yuv420").process_batch(frames)
+    assert b.frames.shape == a.frames.shape
+    assert abs(b.num_faces - a.num_faces) <= 4
