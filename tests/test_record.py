@@ -284,3 +284,52 @@ def test_reconcile_with_timeline_counts_and_truncation(caplog):
     assert (out[1].time, out[1].sequence_num) == (200, 2)
     out2 = rp_.reconcile_with_timeline(pkts[:1], [(5, 9)])
     assert len(out2) == 1 and out2[0].time == 5
+
+
+@needs_native
+def test_repack_midgop_record_stays_aligned(tmp_path, hevc_packets):
+    """A record that starts mid-GOP: unpack gates out the k leading non-key
+    frames, so repack must pair packet i with the i-th SURVIVING message and
+    drop the pre-keyframe originals — pairing from message 0 would shift
+    every payload k frames early and leak k raw frames (review finding)."""
+    topics = CAMERA_TOPICS[:1]
+    rotated = hevc_packets[1:] + hevc_packets[:1]  # starts mid-GOP
+    key_idx = next(i for i, p in enumerate(rotated) if p.is_key)
+    assert key_idx > 0, "fixture must start with a non-keyframe"
+
+    rec = str(tmp_path / "t.record")
+    _write_record(rec, rotated, topics, extra_channel=False)
+    out = read_record2h265_all(rec, str(tmp_path))
+    gated_stream = open(out[topics[0]], "rb").read()
+
+    processed = tmp_path / "processed"
+    processed.mkdir()
+    # Identity "processing": copy the gated stream through.
+    (processed / "topic_front_narrow_processed.h265").write_bytes(gated_stream)
+
+    outdir = tmp_path / "out"
+    final = write_allH265_record_all(rec, str(processed), str(outdir))
+    msgs = list(RecordReader(final).read_messages(topics[0]))
+    surviving = rotated[key_idx:]
+    # Pre-keyframe originals are dropped from the output (never processed).
+    assert len(msgs) == len(surviving)
+    # And every surviving message's payload is the aligned packet.
+    for m, p in zip(msgs, surviving):
+        assert bytes(m[1].data) == bytes(p.data)
+
+
+def test_process_frames_write_pairs_and_truncates():
+    rp_ = ReadPacket()
+
+    class Img:
+        def __init__(self, data=b""):
+            self.data = data
+
+        def CopyFrom(self, other):
+            self.data = other.data
+
+    msgs = [(Img(b"orig0"), 100), (Img(b"orig1"), 200), (Img(b"orig2"), 300)]
+    pkts = [FramePacket(b"new0"), FramePacket(b"new1")]
+    out = rp_.process_frames_write(msgs, pkts)
+    assert [bytes(m.data) for m, _ in out] == [b"new0", b"new1"]
+    assert [t for _, t in out] == [100, 200]

@@ -116,10 +116,21 @@ def process_video_stream(
     t_enc.start()
 
     timer = StageTimer()
+    ok = False
     try:
         _run_device_stage(engine, in_q, out_q, stats, timer)
+        ok = True
     finally:
         out_q.put(_SENTINEL)  # even on error: never strand the encoder
+        if not ok:
+            # Device-stage error: the decoder may be blocked on a full in_q
+            # with no consumer left — drain until its sentinel so t_dec.join
+            # can't hang (timeout-guarded against a wedged decoder).
+            try:
+                while in_q.get(timeout=10.0) is not _SENTINEL:
+                    pass
+            except queue.Empty:
+                pass
     t_enc.join()
     t_dec.join()
     if errors:

@@ -161,12 +161,18 @@ class ReadPacket:
 
         The i-th surviving original message keeps its header, format, and
         record time, but its ``data`` payload becomes the i-th processed
-        packet. Extra originals beyond the processed packet count are dropped
+        packet (pairing semantics shared with ``reconcile_with_timeline``).
+        Extra originals beyond the processed packet count are dropped
         (filtered_messages); extra packets are ignored.
         """
         filtered = [(img, t) for img, t in messages]
+        timeline = [
+            (t, img.header.sequence_num if hasattr(img, "header") else 0)
+            for img, t in filtered
+        ]
+        paired = self.reconcile_with_timeline(list(packets), timeline)
         final_messages = []
-        for (img, t), pkt in zip(filtered, packets):
+        for (img, t), pkt in zip(filtered, paired):
             new_img = type(img)()
             new_img.CopyFrom(img)
             new_img.data = bytes(pkt.data)

@@ -132,11 +132,20 @@ class RecordReader:
                     break
                 stype, data = sec
                 if stype == rp.SECTION_CHUNK_HEADER:
+                    # Advisory only: a corrupt chunk header must neither
+                    # abort iteration nor drive an unbounded allocation.
                     ch_header = rp.ChunkHeader()
-                    ch_header.ParseFromString(data)
+                    try:
+                        ch_header.ParseFromString(data)
+                        raw = int(ch_header.raw_size)
+                    except Exception:
+                        raw = 0
                     # Sizing hint for LZ4 (raw message bytes; proto framing
                     # adds a little on top — decompress() grows as needed).
-                    raw_size_hint = int(ch_header.raw_size * 1.25) + 4096
+                    # Clamp to a sane multiple of the file size so hostile
+                    # values can't force a huge create_string_buffer.
+                    cap = max(64 << 20, self._file_size * 64)
+                    raw_size_hint = min(int(raw * 1.25) + 4096, cap)
                     continue
                 if stype != rp.SECTION_CHUNK_BODY:
                     continue

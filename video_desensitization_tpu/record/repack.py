@@ -25,6 +25,7 @@ from video_desensitization_tpu.record.unpack import _list_records
 from video_desensitization_tpu.record.writer import RecordWriter
 from video_desensitization_tpu.utils.logging import get_logger
 from video_desensitization_tpu.video.av import HEVC_DEFAULTS, VideoDecoder, VideoEncoder
+from video_desensitization_tpu.video.nal import is_hevc_keyframe
 
 REPACK_FPS = 30.0  # reference rate (recordDeal.so string "30")
 
@@ -112,11 +113,20 @@ def write_allH265_record_all(
 
     out_path = None
     dropped = {t: 0 for t in topic_packets}  # original frames left unpaired
+    prekey = {t: 0 for t in topic_packets}  # leading pre-keyframe frames
     msg_totals = {t: 0 for t in topic_packets}
     # One packet stream per topic spans the whole record SET: segment 1's
     # messages continue where segment 0's left off (the processed video is
     # the concatenation of all segments), so the cursor must not reset.
     cursor = {t: 0 for t in topic_packets}
+    # Mirror unpack's keyframe gating: unpack dropped each topic's leading
+    # pre-keyframe messages, so packet i corresponds to the i-th SURVIVING
+    # (post-gate) message — pairing from message 0 would shift every frame
+    # k early for a record that starts mid-GOP. Pre-gate originals are
+    # dropped from the output too (they were never desensitized; the
+    # reference's process_frames_write pairs only filtered_messages,
+    # SURVEY C3).
+    gated = {t: False for t in topic_packets}
     for record_path in records:
         reader = RecordReader(record_path)
         out_path = os.path.join(
@@ -128,6 +138,11 @@ def write_allH265_record_all(
             for topic, msg, t in reader.read_messages():
                 if topic in topic_packets and hasattr(msg, "data"):
                     msg_totals[topic] += 1
+                    if not gated[topic]:
+                        if not is_hevc_keyframe(bytes(msg.data)):
+                            prekey[topic] += 1
+                            continue
+                        gated[topic] = True
                     i = cursor[topic]
                     pkts = topic_packets[topic]
                     if i < len(pkts):
@@ -160,6 +175,14 @@ def write_allH265_record_all(
             "added to: %s",
             out_path,
         )
+    for topic, n_pre in prekey.items():
+        if n_pre:
+            log.warning(
+                "topic %s: dropped %d leading pre-keyframe frames (never "
+                "desensitized; unpack gated them out)",
+                topic,
+                n_pre,
+            )
     for topic, n_drop in dropped.items():
         if n_drop:
             log.warning(

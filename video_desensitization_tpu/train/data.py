@@ -139,13 +139,12 @@ def encode_example(
     encoder: TargetEncoder,
 ):
     """HWC uint8 image + (N, 14) pixel annotations -> one train example."""
-    import cv2
+    from video_desensitization_tpu.pipeline.throughput import letterbox_u8
 
     ih, iw = image.shape[:2]
-    h, w = input_hw
-    nh, nw, top, left = letterbox_params((ih, iw), (h, w))
-    canvas = np.full((h, w, 3), 128, np.uint8)
-    canvas[top : top + nh, left : left + nw] = cv2.resize(image, (nw, nh))
+    # Same letterbox as the inference path (shared geometry + gray fill):
+    # train/inference preprocessing parity by construction.
+    canvas = letterbox_u8(image, input_hw)
     x = canvas.astype(np.float32) - np.asarray(BGR_MEAN, np.float32)
     loc_t, landm_t, labels = encoder(
         _letterbox_annotations(ann, (ih, iw), input_hw)
@@ -210,10 +209,17 @@ def multistep_lr(
     gamma: float = 0.1,
     warmup_steps: int = 0,
 ) -> optax.Schedule:
-    """Classic detector schedule: linear warmup then step decays."""
-    boundaries = {int(m): gamma for m in milestones}
-    sched = optax.piecewise_constant_schedule(base_lr, boundaries)
+    """Classic detector schedule: linear warmup then step decays.
+
+    ``milestones`` are GLOBAL step counts: the decay fires at exactly that
+    optimizer step regardless of warmup (join_schedules rebases the inner
+    schedule's step to count - warmup_steps, so boundaries shift to match).
+    """
     if warmup_steps <= 0:
-        return sched
+        return optax.piecewise_constant_schedule(
+            base_lr, {int(m): gamma for m in milestones}
+        )
+    boundaries = {max(1, int(m) - warmup_steps): gamma for m in milestones}
+    sched = optax.piecewise_constant_schedule(base_lr, boundaries)
     warm = optax.linear_schedule(0.0, base_lr, warmup_steps)
     return optax.join_schedules([warm, sched], [warmup_steps])

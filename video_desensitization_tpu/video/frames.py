@@ -127,7 +127,10 @@ def batch_convert_videos(
             if name.rsplit(".", 1)[-1].lower() not in exts:
                 continue
             src = os.path.join(root, name)
-            dst = os.path.join(output_parent_dir, os.path.splitext(name)[0])
+            # Output keyed by path RELATIVE to input_dir: same-named videos
+            # in different subdirs must not overwrite each other's frames.
+            rel = os.path.relpath(src, input_dir)
+            dst = os.path.join(output_parent_dir, os.path.splitext(rel)[0])
             try:
                 n = convert_video_to_frames(src, dst, interval=interval)
             except Exception as e:  # noqa: BLE001
