@@ -144,9 +144,41 @@ def process_videos_cobatched(
 
     tiered = hasattr(engine, "dispatch") and hasattr(engine, "finalize")
     finalizer = ThreadPoolExecutor(max_workers=1)
-    pending: List[Tuple[List[Tuple[str, np.ndarray]], object]] = []
+    # Device dispatch (h2d transfer + program enqueue) runs on its own
+    # thread so the routing loop's letterbox work overlaps the transfer —
+    # the same 3-stage shape as TieredPipeline.process_stream.
+    dispatch_q: "queue.Queue" = queue.Queue(maxsize=max(1, inflight))
+    result_q: "queue.Queue" = queue.Queue()
+
+    def dispatch_worker():
+        try:
+            while True:
+                item = dispatch_q.get()
+                if item is _DONE:
+                    result_q.put(_DONE)
+                    return
+                done_items, batch, lb, shapes = item
+                if tiered:
+                    fut = engine.dispatch(lb, shapes)
+                    result_q.put(
+                        (done_items, finalizer.submit(engine.finalize, batch, fut))
+                    )
+                else:
+                    result_q.put(
+                        (done_items, finalizer.submit(engine.process_batch, batch))
+                    )
+        except BaseException as e:  # noqa: BLE001
+            result_q.put(e)
+            while dispatch_q.get() is not _DONE:  # drain; never block main
+                pass
+            result_q.put(_DONE)
+
+    dispatch_thread = threading.Thread(target=dispatch_worker, daemon=True)
+    dispatch_thread.start()
+    in_flight = 0
 
     def submit(items: List[Tuple[str, np.ndarray]]):
+        nonlocal in_flight
         batch = np.stack([f for _, f in items])
         n = batch.shape[0]
         if n < batch_size:  # pad: one compiled program for every call
@@ -157,12 +189,20 @@ def process_videos_cobatched(
             b, h, w, _ = batch.shape
             shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
             lb = engine.letterbox_batch(batch)
-            fut = engine.dispatch(lb, shapes)
-            pending.append(
-                (items, finalizer.submit(engine.finalize, batch, fut))
-            )
+            dispatch_q.put((items, batch, lb, shapes))
         else:
-            pending.append((items, finalizer.submit(engine.process_batch, batch)))
+            dispatch_q.put((items, batch, None, None))
+        in_flight += 1
+
+    def drain_one():
+        nonlocal in_flight
+        got = result_q.get()
+        if isinstance(got, BaseException):
+            raise got
+        assert got is not _DONE
+        in_flight -= 1
+        done_items, fut = got
+        route(done_items, fut.result())
 
     def route(done_items, res):
         for (cam, _), blurred, fb, pb in zip(
@@ -197,17 +237,17 @@ def process_videos_cobatched(
             groups.setdefault(key, []).append((cam, item))
             if len(groups[key]) >= batch_size:
                 submit(groups.pop(key))
-            while len(pending) > inflight:
-                done_items, fut = pending.pop(0)
-                route(done_items, fut.result())
-        for done_items, fut in pending:
-            if not abort.is_set():
-                route(done_items, fut.result())
+            while in_flight > inflight:
+                drain_one()
+        while in_flight and not abort.is_set():
+            drain_one()
     except Exception:
         # Device-program failure poisons everything in flight.
         abort.set()
         raise
     finally:
+        dispatch_q.put(_DONE)
+        dispatch_thread.join()
         finalizer.shutdown(wait=True)
         for q_ in enc_qs.values():
             _abortable_put(q_, _DONE, abort) or q_.put(_DONE)
