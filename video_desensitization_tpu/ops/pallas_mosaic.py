@@ -317,9 +317,9 @@ def mosaic_boxes_batch_pallas(
             pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, kpad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, w3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full (B, H, W*3) in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # full (B, H, W*3) in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((b, h, w3), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((STRIP, w3), jnp.uint8),

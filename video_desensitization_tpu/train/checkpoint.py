@@ -25,6 +25,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from video_desensitization_tpu.train.step import TrainState, make_sharding_rules
 
 
+def export_inference_variables(path: str, state: TrainState) -> str:
+    """Write a trained state's weights as a msgpack inference checkpoint.
+
+    The output is exactly what ``detect.face.Retinaface(model_path=...)``
+    loads: ``{"params": ..., "batch_stats": ...}`` via flax serialization
+    (models/convert.py ``save_variables``). This is the bridge from a
+    training run to the deployment pipeline — the analog of the reference's
+    out-of-band ``Retinaface_resnet50.pth`` hand-off (reference face.py:53).
+    """
+    from video_desensitization_tpu.models.convert import save_variables
+
+    variables = jax.device_get(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    save_variables(variables, path)
+    return os.path.abspath(path)
+
+
 def _checkpointer():
     import orbax.checkpoint as ocp
 

@@ -14,6 +14,9 @@ def setup_logger(
 ) -> logging.Logger:
     logger = logging.getLogger(ROOT_NAME)
     logger.setLevel(logging.DEBUG)
+    # Library imports (absl via orbax) install root handlers mid-run; don't
+    # double-emit every record through them.
+    logger.propagate = False
     if logger.handlers:
         return logger
     console = logging.StreamHandler()
