@@ -17,6 +17,8 @@ import os
 import subprocess
 from typing import Optional
 
+import numpy as np
+
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "video", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libvdt_lz4.so"))
 
@@ -72,10 +74,14 @@ def decompress(data: bytes, size_hint: int = 0) -> bytes:
         return _decompress_py(data)
     cap = max(int(size_hint), 4 * len(data), 1 << 16)
     for _ in range(12):  # growth capped: 64 KiB -> 256 GiB
-        dst = ctypes.create_string_buffer(cap)
-        n = lib.vdt_lz4_decompress(data, len(data), dst, cap)
+        # np.empty: no zero-fill of the (possibly much larger) capacity;
+        # tobytes() copies exactly the n decompressed bytes. The previous
+        # create_string_buffer + .raw path zero-filled AND copied the full
+        # capacity — 20x slower than the C call itself on 50 MB chunks.
+        dst = np.empty(cap, np.uint8)
+        n = lib.vdt_lz4_decompress(data, len(data), dst.ctypes.data, cap)
         if n >= 0:
-            return dst.raw[:n]
+            return dst[:n].tobytes()
         if n == -1:
             raise ValueError("malformed LZ4 block")
         cap *= 4  # -2: destination too small
@@ -87,11 +93,11 @@ def compress(data: bytes) -> bytes:
     if lib is None:
         return _compress_literal_py(data)
     cap = int(lib.vdt_lz4_compress_bound(len(data)))
-    dst = ctypes.create_string_buffer(cap)
-    n = lib.vdt_lz4_compress(data, len(data), dst, cap)
+    dst = np.empty(cap, np.uint8)
+    n = lib.vdt_lz4_compress(data, len(data), dst.ctypes.data, cap)
     if n < 0:
         raise ValueError("LZ4 compression failed")
-    return dst.raw[:n]
+    return dst[:n].tobytes()
 
 
 # -- pure-Python fallbacks ----------------------------------------------------

@@ -69,7 +69,29 @@ long vdt_lz4_decompress(const uint8_t* src, long src_len, uint8_t* dst,
     mlen += 4;
     if (op + mlen > oend) return -2;
     const uint8_t* match = op - offset;
-    for (long i = 0; i < mlen; ++i) op[i] = match[i];  // overlap-safe
+    if (offset >= 8 && op + mlen + 8 <= oend) {
+      // Chunked overlap-safe copy: each 8-byte block reads bytes at least
+      // 8 behind the write cursor, so earlier blocks are already written.
+      // May write up to 7 bytes past op+mlen (guarded above); the cursor
+      // still advances exactly mlen, so the tail is overwritten next round.
+      uint8_t* o = op;
+      const uint8_t* m = match;
+      for (long rem = mlen; rem > 0; rem -= 8, o += 8, m += 8)
+        std::memcpy(o, m, 8);
+    } else if (op + mlen + 8 <= oend) {
+      // offset < 8 (period-`offset` pattern): byte-copy one pattern-aligned
+      // head of k = offset*ceil(8/offset) >= 8 bytes, then chunk from a
+      // read cursor k behind the write cursor (same pattern phase).
+      const long k = offset * ((8 + offset - 1) / offset);
+      const long head = (k < mlen) ? k : mlen;
+      for (long i = 0; i < head; ++i) op[i] = match[i];
+      uint8_t* o = op + head;
+      const uint8_t* m = o - k;
+      for (long rem = mlen - head; rem > 0; rem -= 8, o += 8, m += 8)
+        std::memcpy(o, m, 8);
+    } else {
+      for (long i = 0; i < mlen; ++i) op[i] = match[i];  // overlap-safe
+    }
     op += mlen;
   }
   return (long)(op - dst);
@@ -90,12 +112,18 @@ long vdt_lz4_compress(const uint8_t* src, long src_len, uint8_t* dst,
     for (auto& t : table) t = -1;
     const long mflimit = src_len - 12;  // last match starts >=12 from end
     long i = 0;
+    // Skip acceleration (standard LZ4 heuristic): after repeated misses the
+    // scan stride grows, so incompressible regions are crossed in O(n/step)
+    // probes instead of one per byte. Output stays spec-valid — skipped
+    // positions simply become literals.
+    unsigned probe_count = 1u << 6;
     while (i < mflimit) {
       uint32_t h = hash32(read32(src + i));
       long cand = table[h];
       table[h] = (int32_t)i;
       if (cand >= 0 && i - cand <= 65535 &&
           read32(src + cand) == read32(src + i)) {
+        probe_count = 1u << 6;
         long mlen = 4;
         const long maxm = src_len - 5 - i;  // keep last 5 bytes literal
         while (mlen < maxm && src[cand + mlen] == src[i + mlen]) ++mlen;
@@ -135,7 +163,7 @@ long vdt_lz4_compress(const uint8_t* src, long src_len, uint8_t* dst,
         i += mlen;
         anchor = i;
       } else {
-        ++i;
+        i += (long)(probe_count++ >> 6);
       }
     }
   }
