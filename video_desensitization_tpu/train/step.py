@@ -142,8 +142,12 @@ def make_train_step(
         )
         return new_state, metrics
 
+    # donate_argnums=(0,): the old TrainState's buffers are reused for the
+    # new one — without this every step holds params+opt_state twice in HBM.
+    # (Standard train-step contract: the passed-in state must not be used
+    # after the call; the loop reassigns it. CPU ignores donation.)
     if mesh is None:
-        return jax.jit(train_step)
+        return jax.jit(train_step, donate_argnums=(0,))
 
     batch_sh = NamedSharding(mesh, P("data"))
 
@@ -153,4 +157,4 @@ def make_train_step(
         )
         return train_step(state, batch)
 
-    return jax.jit(sharded_step)
+    return jax.jit(sharded_step, donate_argnums=(0,))
