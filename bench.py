@@ -167,7 +167,7 @@ def main() -> None:
     lb_p, shp_p, geom_p = _device_args(dev_batch)
     out = pipe._program(face.variables, plate_vars, lb_p, shp_p, geom_p)
     np.asarray(out[1])  # compile + warm
-    pipe_iters = max(3, int(os.environ.get("BENCH_DEVICE_PIPE_ITERS", "4")))
+    pipe_iters = max(1, int(os.environ.get("BENCH_DEVICE_PIPE_ITERS", "4")))
     t0 = time.perf_counter()
     outs = [
         pipe._program(face.variables, plate_vars, lb_p, shp_p, geom_p)

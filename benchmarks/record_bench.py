@@ -56,7 +56,7 @@ def synthesize(path: str, total_mb: float, mode: int, frame_kb: int = 384) -> fl
     """Write a 12-topic record of ~total_mb payload bytes; returns MB written."""
     rng = np.random.default_rng(0)
     per_msg = frame_kb * 1024
-    n_msgs = max(1, int(total_mb * 1e6 / (per_msg * len(CAMERA_TOPICS))))
+    n_msgs = max(1, round(total_mb * 1e6 / (per_msg * len(CAMERA_TOPICS))))
     written = 0
     with RecordWriter(path, compress=mode) as w:
         for t in CAMERA_TOPICS:

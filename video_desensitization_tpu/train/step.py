@@ -104,6 +104,12 @@ def make_train_step(
 
     batch = {"images": (B, H, W, 3) float32, "loc_t": (B, A, 4),
              "landm_t": (B, A, 10), "labels": (B, A) int32}
+
+    The passed-in ``state`` is DONATED: its device buffers are reused for
+    the returned state, so it must not be read after the call (standard
+    train-loop contract — rebind ``state = step(state, batch)[0]``).
+    Reading a donated state raises on TPU; CPU ignores donation, so test
+    code that violates this only fails in deployment.
     """
     # Targets arrive pre-encoded against these anchors (train.targets);
     # the loss itself needs no anchor math.
