@@ -9,12 +9,14 @@ ships no evaluator. This module completes the loop:
   trained/evaluated on, so real weights can be scored the moment they land.
 * ``average_precision`` — single-class VOC-style AP at an IoU threshold
   (greedy score-ordered matching, each GT consumed once, continuous AP).
-* ``evaluate_detector`` — runs ``face.get_map_txt(image)`` over a labeled
-  set and reports AP/precision/recall.
+* ``evaluate_detector`` — runs ``detector.get_map_txt(image)`` over a
+  labeled set and reports AP/precision/recall. Works for the face detector
+  and (``--detector plate``) the YOLOv8 plate detector — both expose
+  ``get_map_txt`` returning (M, >=5) [x1, y1, x2, y2, score, ...] rows.
 
 CLI:
     python benchmarks/map_eval.py <wider_val.txt> <images_root> \
-        [--ckpt face.msgpack] [--limit N] [--iou 0.5]
+        [--ckpt face.msgpack] [--detector face|plate] [--limit N] [--iou 0.5]
 
 Synthetic self-validation (no dataset needed):
     python benchmarks/map_eval.py --selftest
@@ -140,19 +142,20 @@ def average_precision(
 
 
 def evaluate_detector(
-    face,
+    detector,
     image_paths: Sequence[str],
     ground_truth: Dict[str, np.ndarray],
     keys: Sequence[str],
     iou_threshold: float = 0.5,
 ) -> Dict[str, float]:
-    """Run face.get_map_txt over images and score against ground truth."""
+    """Run detector.get_map_txt over images and score against ground truth."""
     import cv2
 
     detections: Dict[str, np.ndarray] = {}
     for path, key in zip(image_paths, keys):
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
-        dets = face.get_map_txt(img)  # (M, 15): xyxy, score, landmarks
+        # (M, 15) for faces (xyxy, score, landmarks); (M, 6) for plates.
+        dets = detector.get_map_txt(img)
         detections[key] = dets[:, :5] if len(dets) else np.zeros((0, 5))
     return average_precision(detections, ground_truth, iou_threshold)
 
@@ -195,6 +198,7 @@ def main(argv=None) -> int:
     p.add_argument("--limit", type=int, default=0, help="evaluate first N images")
     p.add_argument("--iou", type=float, default=0.5)
     p.add_argument("--confidence", type=float, default=0.02)
+    p.add_argument("--detector", choices=["face", "plate"], default="face")
     p.add_argument("--selftest", action="store_true")
     args = p.parse_args(argv)
 
@@ -206,26 +210,37 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    from video_desensitization_tpu.detect.face import Retinaface
-
     gts = load_wider_annotations(args.annotations)
     keys = sorted(gts)
     if args.limit:
         keys = keys[: args.limit]
     paths = [os.path.join(args.images_root, k) for k in keys]
-    face = Retinaface(
-        model_path=args.ckpt,
-        backbone="resnet50",
-        input_shape=[640, 640, 3],
-        confidence=args.confidence,  # low threshold: AP needs the full curve
-        nms_iou=0.4,
-        max_detections=512,
-        dtype=jnp.bfloat16,
-    )
+    if args.detector == "face":
+        from video_desensitization_tpu.detect.face import Retinaface
+
+        det = Retinaface(
+            model_path=args.ckpt,
+            backbone="resnet50",
+            input_shape=[640, 640, 3],
+            confidence=args.confidence,  # low threshold: AP needs the curve
+            nms_iou=0.4,
+            max_detections=512,
+            dtype=jnp.bfloat16,
+        )
+    else:
+        from video_desensitization_tpu.detect.plate import PlateDetector
+
+        det = PlateDetector(
+            model_path=args.ckpt,
+            confidence=args.confidence,
+            input_shape=(640, 640),
+            max_detections=512,
+            dtype=jnp.bfloat16,
+        )
     result = evaluate_detector(
-        face, paths, {k: gts[k] for k in keys}, keys, args.iou
+        det, paths, {k: gts[k] for k in keys}, keys, args.iou
     )
-    result["metric"] = f"retinaface_ap@{args.iou}"
+    result["metric"] = f"{'retinaface' if args.detector == 'face' else 'plate_yolov8'}_ap@{args.iou}"
     print(json.dumps(result))
     return 0
 

@@ -126,3 +126,28 @@ def test_evaluate_detector_end_to_end(tmp_path):
 
 def test_selftest_cli():
     assert me._selftest()["selftest"] == "ok"
+
+
+def test_plate_get_map_txt_shape_and_eval_path():
+    """PlateDetector.get_map_txt returns (M, 6) rows usable by
+    evaluate_detector (random weights: plumbing, not accuracy)."""
+    import jax.numpy as jnp
+
+    from video_desensitization_tpu.detect.plate import PlateDetector
+
+    plate = PlateDetector(
+        model_path=None,
+        confidence=0.0,  # random weights: keep whatever scores appear
+        input_shape=(64, 64),
+        max_detections=8,
+        dtype=jnp.float32,
+    )
+    img = np.zeros((48, 64, 3), np.uint8)
+    dets = plate.get_map_txt(img)
+    assert dets.ndim == 2 and dets.shape[1] == 6
+    # Rows slice cleanly into the (M, 5) the AP scorer consumes.
+    five = dets[:, :5] if len(dets) else np.zeros((0, 5))
+    r = me.average_precision(
+        {"a": five}, {"a": np.array([[0, 0, 10, 10]], float)}
+    )
+    assert 0.0 <= r["ap"] <= 1.0

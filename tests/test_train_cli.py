@@ -140,3 +140,34 @@ def test_train_cli_rejects_empty_labels(tmp_path):
 
 def test_train_cli_main_smoke(synthetic_set):
     assert main(_argv(synthetic_set, **{"--epochs": "1"})) == 0
+
+
+def test_train_cli_validation_split(synthetic_set):
+    # The package logger sets propagate=False (orbax/absl double-emission),
+    # so capture with a handler on the logger itself, not caplog/root.
+    import logging
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    logger = logging.getLogger("VideoProcessor.train")
+    logger.addHandler(handler)
+    old_level = logger.level
+    logger.setLevel(logging.INFO)  # effective level is WARNING if the CLI's
+    try:                           # setup_logger never ran in this process
+        state = train(
+            parse_args(
+                _argv(synthetic_set, **{"--epochs": "1", "--val-frac": "0.5"})
+            )
+        )
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
+    # 8 images, half held out -> 1 train step; validation ran and logged.
+    assert int(state.step) == 1
+    assert any("validation: loss" in m for m in records), records
+
+
+def test_train_cli_val_frac_rejects_degenerate_split(synthetic_set):
+    with pytest.raises(ValueError, match="leaves no train data"):
+        train(parse_args(_argv(synthetic_set, **{"--val-frac": "1.0"})))

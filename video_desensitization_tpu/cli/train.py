@@ -66,6 +66,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="write final weights as a msgpack the Retinaface wrapper loads")
     p.add_argument("--log-every", type=int, default=10, help="log metrics every N steps")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--val-frac",
+        type=float,
+        default=0.0,
+        help="hold out this fraction of images (deterministic split) and "
+        "report validation multibox loss after every epoch",
+    )
     return p.parse_args(argv)
 
 
@@ -106,7 +113,11 @@ def train(args: argparse.Namespace):
         save_train_state,
     )
     from video_desensitization_tpu.train.data import batch_iterator, load_retinaface_labels
-    from video_desensitization_tpu.train.step import create_train_state, make_train_step
+    from video_desensitization_tpu.train.step import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
     from video_desensitization_tpu.utils.logging import get_logger
 
     log = get_logger("train")
@@ -116,6 +127,25 @@ def train(args: argparse.Namespace):
     labels = load_retinaface_labels(args.labels)
     if not labels:
         raise ValueError(f"no annotations parsed from {args.labels}")
+    val_labels: dict = {}
+    if args.val_frac > 0:
+        keys = sorted(labels)
+        n_val = max(1, int(round(len(keys) * args.val_frac)))
+        if n_val >= len(keys):
+            raise ValueError(f"--val-frac {args.val_frac} leaves no train data")
+        val_keys = set(
+            np.random.default_rng(args.seed).choice(
+                keys, size=n_val, replace=False
+            ).tolist()
+        )
+        val_labels = {k: labels[k] for k in val_keys}
+        labels = {k: v for k, v in labels.items() if k not in val_keys}
+        if len(val_labels) < args.batch_size:
+            log.warning(
+                "validation split (%d images) smaller than one batch (%d) — "
+                "validation will be skipped (shape-static batches only)",
+                len(val_labels), args.batch_size,
+            )
     steps_per_epoch = max(1, len(labels) // args.batch_size)
     log.info(
         "%d annotated images | %d steps/epoch @ batch %d | input %dx%d (%s)",
@@ -153,6 +183,25 @@ def train(args: argparse.Namespace):
         hw, min_sizes=cfg["min_sizes"], steps=cfg["steps"]
     )
     step_fn = make_train_step(model, tx, anchors, mesh=mesh)
+    eval_fn = make_eval_step(model, mesh=mesh) if val_labels else None
+
+    def run_validation(state, epoch):
+        n, tot = 0, 0.0
+        for vb in batch_iterator(
+            val_labels, args.images, hw, anchors,
+            batch_size=args.batch_size, max_gt=args.max_gt,
+            shuffle=False, drop_remainder=True,
+        ):
+            if mesh is not None:
+                vb = shard_batch(mesh, vb)
+            m = eval_fn(state, vb)
+            tot += float(m["loss"])
+            n += 1
+        if n:
+            log.info("epoch %d validation: loss %.4f over %d batches",
+                     epoch, tot / n, n)
+            return tot / n
+        return None
 
     start_step = int(state.step)
     total_steps = args.epochs * steps_per_epoch
@@ -191,6 +240,8 @@ def train(args: argparse.Namespace):
             "epoch %d done: %d steps in %.1fs (%.2f img/s)",
             epoch, n_steps, dt, n_steps * args.batch_size / max(dt, 1e-9),
         )
+        if eval_fn is not None:
+            run_validation(state, epoch)
         if args.ckpt_dir and ((epoch + 1) % args.save_every == 0 or epoch + 1 == args.epochs):
             path = os.path.join(args.ckpt_dir, f"ep{epoch + 1:04d}")
             save_train_state(path, state)

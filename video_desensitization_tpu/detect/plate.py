@@ -147,6 +147,15 @@ class PlateDetector:
         out = jnp.where(keep[..., None], out, jnp.zeros_like(out))
         return out, keep
 
+    def get_map_txt(self, image: np.ndarray) -> np.ndarray:
+        """Single-image detections for mAP eval: (M, 6) pixel coords
+        [x1, y1, x2, y2, score, cls] — the plate-side analog of
+        Retinaface.get_map_txt (reference face.py:185-230; the reference
+        never shipped a plate evaluator at all)."""
+        batch = np.asarray(image, np.uint8)[None]
+        dets, keep = self.detect_padded(batch)
+        return np.asarray(dets)[0][np.asarray(keep)[0]]
+
     def detect_padded(self, frames_u8: np.ndarray):
         b, h, w, _ = frames_u8.shape
         shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))

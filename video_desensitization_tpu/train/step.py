@@ -93,6 +93,46 @@ def create_train_state(
     return state, tx
 
 
+def make_eval_step(
+    model: RetinaFace,
+    mesh: Optional[Mesh] = None,
+    loc_weight: float = 2.0,
+) -> Callable:
+    """Returns a jitted eval_step(state, batch) -> metrics (no grad, BN in
+    inference mode, state NOT donated). Same multibox objective as training,
+    for validation-loss tracking."""
+
+    def eval_step(state: TrainState, batch: Dict[str, Array]):
+        loc, cls, landm = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["images"],
+            train=False,
+        )
+        _, metrics = multibox_loss(
+            loc.astype(jnp.float32),
+            cls.astype(jnp.float32),
+            landm.astype(jnp.float32),
+            batch["loc_t"],
+            batch["landm_t"],
+            batch["labels"],
+            loc_weight=loc_weight,
+        )
+        return metrics
+
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    def sharded_eval(state, batch):
+        batch = jax.lax.with_sharding_constraint(
+            batch, jax.tree.map(lambda _: batch_sh, batch)
+        )
+        return eval_step(state, batch)
+
+    return jax.jit(sharded_eval)
+
+
 def make_train_step(
     model: RetinaFace,
     tx: optax.GradientTransformation,
