@@ -153,3 +153,74 @@ def test_record_job_cobatched_on_mesh(face, tmp_path):
         stream.write_bytes(b"".join(bytes(m[1].data) for m in msgs))
         with VideoDecoder(str(stream)) as dec:
             assert sum(1 for _ in dec) == len(pkts)
+
+
+def test_hlo_collective_structure(face):
+    """Inspect compiled HLO: inference over the data axis must insert ZERO
+    collectives (frames are independent — the scaling-book sanity check);
+    the sharded train step must all-reduce gradients."""
+    import optax
+
+    from video_desensitization_tpu.models.configs import cfg_mnet
+    from video_desensitization_tpu.models.retinaface import RetinaFace
+    from video_desensitization_tpu.ops.anchors import generate_anchors, num_anchors
+    from video_desensitization_tpu.train.step import create_train_state, make_train_step
+
+    mesh = make_mesh()
+    n = len(jax.devices())
+
+    # Inference: batch shard_mapped over data, params replicated. Under plain
+    # GSPMD propagation the TopK custom-call has no batch partitioning rule
+    # and the partitioner gathers the batch around it; the shard_map path
+    # (detect/face.py, mesh.data_parallel_program) must stay collective-free.
+    from video_desensitization_tpu.parallel.mesh import data_parallel_program
+
+    frames = np.zeros((n * 2, 96, 128, 3), np.uint8)
+    shapes = np.tile(np.array([[96.0, 128.0]], np.float32), (n * 2, 1))
+    fr = jax.device_put(jnp.asarray(frames), batch_sharding(mesh))
+    sh = jax.device_put(jnp.asarray(shapes), batch_sharding(mesh, ndim=2))
+    prog = data_parallel_program(
+        mesh, face._detect_program, n_params=1, n_batch_args=2, n_out=3
+    )
+    hlo = jax.jit(prog).lower(face.variables, fr, sh).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "reduce-scatter", "collective-permute"):
+        assert coll not in hlo, f"inference HLO unexpectedly contains {coll}"
+
+    # The mesh-aware detector wrapper must produce results identical to the
+    # unsharded program (and pad/slice a non-multiple batch transparently).
+    face_mesh = Retinaface(
+        variables=face.variables,
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.01,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.float32,
+        mesh=mesh,
+    )
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (n + 3, 96, 128, 3), dtype=np.uint8)
+    d0, p0, k0 = (np.asarray(x) for x in face.detect_padded(imgs))
+    d1, p1, k1 = (np.asarray(x) for x in face_mesh.detect_padded(imgs))
+    np.testing.assert_array_equal(k0, k1)
+    np.testing.assert_allclose(p0, p1, rtol=1e-5, atol=1e-3)
+
+    # Training: gradient all-reduce over data must appear.
+    hw = (64, 64)
+    model = RetinaFace(cfg=cfg_mnet, mode="train", dtype=jnp.float32)
+    tx = optax.sgd(1e-2)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), hw, tx, mesh=mesh)
+    anchors = generate_anchors(hw, min_sizes=cfg_mnet["min_sizes"],
+                               steps=cfg_mnet["steps"])
+    a = num_anchors(hw, steps=cfg_mnet["steps"])
+    batch = {
+        "images": np.zeros((n, *hw, 3), np.float32),
+        "loc_t": np.zeros((n, a, 4), np.float32),
+        "landm_t": np.zeros((n, a, 10), np.float32),
+        "labels": np.zeros((n, a), np.int32),
+    }
+    batch = shard_batch(mesh, batch)
+    step = make_train_step(model, tx, anchors, mesh=mesh)
+    hlo_train = jax.jit(lambda s, b: step(s, b)).lower(state, batch).compile().as_text()
+    assert "all-reduce" in hlo_train, "sharded train step lost its gradient all-reduce"

@@ -83,7 +83,19 @@ class Retinaface:
         )
         self.net = RetinaFaceNet(cfg=self.cfg, mode="eval", dtype=self.dtype)
         self.variables = variables if variables is not None else self._load(self.model_path)
-        self._detect_fn = jax.jit(partial(self._detect_program))
+        if self.mesh is not None:
+            # shard_map over the data axis: each chip runs its shard of the
+            # batch independently (frames are independent), so the compiled
+            # program carries zero collectives (see mesh.data_parallel_program).
+            from video_desensitization_tpu.parallel.mesh import data_parallel_program
+
+            self._detect_fn = jax.jit(
+                data_parallel_program(
+                    self.mesh, self._detect_program, n_params=1, n_batch_args=2, n_out=3
+                )
+            )
+        else:
+            self._detect_fn = jax.jit(partial(self._detect_program))
 
     # -- weights -----------------------------------------------------------
     def _load(self, model_path: Optional[str]) -> Dict:
@@ -131,6 +143,19 @@ class Retinaface:
         b, h, w, _ = frames_u8.shape
         if image_shapes is None:
             image_shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+        if self.mesh is not None:
+            from video_desensitization_tpu.parallel.mesh import (
+                batch_sharding,
+                pad_batch_to_devices,
+            )
+
+            n = self.mesh.devices.size
+            frames_u8, _ = pad_batch_to_devices(np.asarray(frames_u8), n)
+            image_shapes, _ = pad_batch_to_devices(np.asarray(image_shapes), n)
+            frames_u8 = jax.device_put(frames_u8, batch_sharding(self.mesh, 4))
+            image_shapes = jax.device_put(image_shapes, batch_sharding(self.mesh, 2))
+            dets, dets_px, keep = self._detect_fn(self.variables, frames_u8, image_shapes)
+            return dets[:b], dets_px[:b], keep[:b]
         return self._detect_fn(
             self.variables, jnp.asarray(frames_u8), jnp.asarray(image_shapes)
         )

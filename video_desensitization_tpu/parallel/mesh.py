@@ -73,6 +73,23 @@ def shard_params(mesh: Mesh, params):
     return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), params)
 
 
+def data_parallel_program(mesh: Mesh, fn, n_params: int, n_batch_args: int, n_out: int):
+    """Wrap ``fn(params..., batch_arrays...)`` in ``shard_map`` over ``data``.
+
+    The first ``n_params`` args (parameter pytrees) are replicated; the
+    remaining ``n_batch_args`` args and all ``n_out`` outputs are sharded on
+    dim 0. Because each device runs the whole per-shard program locally, the
+    compiled inference HLO is collective-free by construction — under plain
+    GSPMD propagation the TopK custom-call has no batch partitioning rule and
+    the partitioner falls back to an all-gather of the batch around it.
+    """
+    in_specs = tuple([P()] * n_params + [P("data")] * n_batch_args)
+    out_specs = tuple([P("data")] * n_out)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+
 def pad_batch_to_devices(batch: np.ndarray, n: int):
     """Pad dim 0 to a multiple of ``n``; returns (padded, original_len)."""
     b = batch.shape[0]

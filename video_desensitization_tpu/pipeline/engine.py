@@ -67,7 +67,16 @@ class DesensitizationEngine:
             mosaic_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.mosaic_backend = mosaic_backend
         self.anonymizer = anonymizer
-        self._program = jax.jit(self._build_program())
+        program = self._build_program()
+        if self.mesh is not None:
+            # Collective-free data parallelism: each chip blurs its shard of
+            # frames locally (see parallel.mesh.data_parallel_program).
+            from video_desensitization_tpu.parallel.mesh import data_parallel_program
+
+            program = data_parallel_program(
+                self.mesh, program, n_params=2, n_batch_args=2, n_out=5
+            )
+        self._program = jax.jit(program)
 
     def _build_program(self):
         face = self.face
