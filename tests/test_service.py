@@ -1,0 +1,288 @@
+"""Watch-folder serving daemon (pipeline/service.py): claims, journal,
+failure isolation, HTTP status, crash recovery. The reference has no serving
+story (one-shot run.sh); this is the resident-deployment surface."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from video_desensitization_tpu.api.config import load_config
+from video_desensitization_tpu.pipeline.service import (
+    DesensitizationService,
+    ServiceConfig,
+    group_inbox,
+    load_service_config,
+)
+from video_desensitization_tpu.video.av import (
+    VideoDecoder,
+    VideoEncoder,
+    native_available,
+)
+
+needs_native = pytest.mark.skipif(
+    not native_available(), reason="native av layer unavailable"
+)
+
+FORMATS = ["h265", "hevc", "265", "mp4", "mov", "avi"]
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    from video_desensitization_tpu.cli.main import build_engine
+
+    tmp = tmp_path_factory.mktemp("cfg")
+    ini = tmp / "config.ini"
+    ini.write_text(
+        "[PATHS]\nmodel_path=random\nmodel_weights=random\n"
+        "record_dir=\noutput_h265_dir=\noutput_videos_dir=\n"
+        "temp_directory_base=\nrecord_output_dir=\n"
+        "[SETTINGS]\nbatch_size=4\n"
+        "[TPU]\ninput_size=128\nmax_detections=8\ndtype=float32\n"
+        "confidence=0.01\noutput_fps=30\n"
+    )
+    return build_engine(load_config(str(ini), strict=False), with_plates=False)
+
+
+def _pcfg(tmp):
+    ini = tmp / "pipe.ini"
+    ini.write_text(
+        "[PATHS]\nmodel_path=random\nmodel_weights=random\n"
+        "record_dir=\noutput_h265_dir=\noutput_videos_dir=\n"
+        "temp_directory_base=\nrecord_output_dir=\n"
+        "[SETTINGS]\nbatch_size=4\n[TPU]\noutput_fps=30\n"
+    )
+    return load_config(str(ini), strict=False)
+
+
+def _service(tmp, engine, **kw):
+    scfg = ServiceConfig(
+        inbox_dir=str(tmp / "inbox"),
+        output_dir=str(tmp / "out"),
+        poll_interval_s=0.05,
+        stable_polls=0,
+        **kw,
+    )
+    return DesensitizationService(scfg, _pcfg(tmp), engine)
+
+
+def _write_video(path, frames=6, w=160, h=96):
+    rng = np.random.default_rng(0)
+    with VideoEncoder(str(path), w, h, fps=10, codec="mpeg4") as e:
+        for _ in range(frames):
+            e.write(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+
+
+def test_group_inbox_segments_and_videos():
+    jobs = group_inbox(
+        [
+            "b.record.00001",
+            "a.record",
+            "b.record.00000",
+            "cam.mp4",
+            "notes.txt",
+            ".hidden.mp4",
+        ],
+        FORMATS,
+    )
+    by_name = {j.name: j for j in jobs}
+    assert set(by_name) == {"a.record", "b.record", "cam.mp4"}
+    assert by_name["b.record"].members == ["b.record.00000", "b.record.00001"]
+    assert by_name["a.record"].kind == "record"
+    assert by_name["cam.mp4"].kind == "video"
+
+
+def test_load_service_config(tmp_path):
+    ini = tmp_path / "svc.ini"
+    ini.write_text(
+        "[PATHS]\nmodel_path=x\n"
+        "[SERVICE]\ninbox_dir=/data/in\noutput_dir=/data/out\n"
+        "poll_interval=0.5\nstable_polls=2\nhttp_port=0\ndelete_inputs=true\n"
+    )
+    cfg = load_service_config(str(ini))
+    assert cfg.inbox_dir == "/data/in"
+    assert cfg.poll_interval_s == 0.5
+    assert cfg.stable_polls == 2
+    assert cfg.http_port == 0
+    assert cfg.delete_inputs
+    assert cfg.work_dir == "/data/in/.work"
+    bad = tmp_path / "bad.ini"
+    bad.write_text("[PATHS]\nmodel_path=x\n")
+    with pytest.raises(ValueError, match="SERVICE"):
+        load_service_config(str(bad))
+
+
+@needs_native
+def test_video_job_end_to_end(tmp_path, engine):
+    svc = _service(tmp_path, engine)
+    _write_video(tmp_path / "inbox" / "cam.mp4")
+    handled = svc.run(max_jobs=1)
+    assert handled == 1
+
+    out = tmp_path / "out" / "cam_processed.mp4"
+    assert out.exists()
+    with VideoDecoder(str(out)) as dec:
+        assert sum(1 for _ in dec) == 6
+    # Input archived, inbox empty, journal records the job.
+    assert (tmp_path / "inbox" / ".done" / "cam.mp4").exists()
+    assert not any(
+        f for f in os.listdir(tmp_path / "inbox") if not f.startswith(".")
+    )
+    lines = [
+        json.loads(l)
+        for l in (tmp_path / "out" / "service_journal.jsonl").read_text().splitlines()
+    ]
+    assert len(lines) == 1 and lines[0]["ok"] and lines[0]["frames"] == 6
+    assert svc.status["jobs_done"] == 1 and svc.status["frames"] == 6
+
+
+@needs_native
+def test_record_job_end_to_end(tmp_path, engine):
+    from video_desensitization_tpu.record.proto import sensor_image_pb2 as sp
+    from video_desensitization_tpu.record.reader import RecordReader
+    from video_desensitization_tpu.record.topics import (
+        CAMERA_TOPICS,
+        COMPRESSED_IMAGE_TYPE,
+    )
+    from video_desensitization_tpu.record.writer import RecordWriter
+    from video_desensitization_tpu.video.av import PacketDemuxer
+
+    h265 = str(tmp_path / "src.h265")
+    with VideoEncoder(h265, 64, 64, fps=30, codec="libx265",
+                      bitrate=200000, preset="ultrafast") as e:
+        for i in range(6):
+            e.write(np.full((64, 64, 3), i * 30, np.uint8))
+    with PacketDemuxer(h265) as dm:
+        pkts = dm.read_packets()
+
+    svc = _service(tmp_path, engine)
+    topic = CAMERA_TOPICS[0]
+    rec = tmp_path / "inbox" / "drive.record"
+    with RecordWriter(str(rec)) as w:
+        w.write_channel(topic, COMPRESSED_IMAGE_TYPE)
+        for i, p in enumerate(pkts):
+            img = sp.CompressedImage(format="h265", data=p.data)
+            img.header.sequence_num = i
+            w.write_message(topic, img, 10**9 + i * 33_000_000)
+
+    handled = svc.run(max_jobs=1)
+    assert handled == 1
+    out_rec = tmp_path / "out" / "drive.record" / "record" / "drive.record"
+    assert out_rec.exists()
+    msgs = list(RecordReader(str(out_rec)).read_messages(topic))
+    assert len(msgs) == len(pkts)
+    assert (tmp_path / "inbox" / ".done" / "drive.record").exists()
+    # Work dir cleaned up.
+    assert os.listdir(tmp_path / "inbox" / ".work") == []
+
+
+@needs_native
+def test_failed_job_isolated_and_archived(tmp_path, engine):
+    svc = _service(tmp_path, engine)
+    (tmp_path / "inbox" / "broken.mp4").write_bytes(b"not a video at all")
+    _write_video(tmp_path / "inbox" / "good.mp4")
+    handled = svc.run(max_jobs=2)
+    assert handled == 2
+    # The bad job is quarantined with its error; the good one still processed.
+    assert (tmp_path / "inbox" / ".failed" / "broken.mp4").exists()
+    assert (tmp_path / "inbox" / ".failed" / "broken.mp4.error.txt").exists()
+    assert (tmp_path / "out" / "good_processed.mp4").exists()
+    assert svc.status["jobs_failed"] == 1 and svc.status["jobs_done"] == 1
+
+
+def test_claim_is_atomic_across_workers(tmp_path, engine):
+    s1 = _service(tmp_path, engine)
+    s2 = DesensitizationService(
+        ServiceConfig(
+            inbox_dir=str(tmp_path / "inbox"),
+            output_dir=str(tmp_path / "out2"),
+            work_dir=str(tmp_path / "work2"),
+            stable_polls=0,
+        ),
+        _pcfg(tmp_path),
+        engine,
+    )
+    (tmp_path / "inbox" / "x.mp4").write_bytes(b"\x00" * 64)
+    jobs1, jobs2 = s1.scan(), s2.scan()
+    assert len(jobs1) == 1 and len(jobs2) == 1
+    d1 = s1.claim(jobs1[0])
+    d2 = s2.claim(jobs2[0])
+    assert (d1 is None) != (d2 is None), "exactly one worker must win"
+
+
+def test_recover_orphans(tmp_path, engine):
+    svc = _service(tmp_path, engine)
+    orphan = tmp_path / "inbox" / ".work" / "dead.mp4.123.1" / "in"
+    orphan.mkdir(parents=True)
+    (orphan / "dead.mp4").write_bytes(b"x")
+    assert svc.recover_orphans() == 1
+    assert (tmp_path / "inbox" / "dead.mp4").exists()
+    assert os.listdir(tmp_path / "inbox" / ".work") == []
+
+
+def test_http_status_endpoint(tmp_path, engine):
+    svc = _service(tmp_path, engine, http_port=0)
+    try:
+        assert svc.http_port
+        base = f"http://127.0.0.1:{svc.http_port}"
+        assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok\n"
+        status = json.loads(urllib.request.urlopen(f"{base}/status").read())
+        assert status["jobs_done"] == 0
+        assert "uptime_s" in status
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"{base}/nope")
+    finally:
+        svc.shutdown()
+
+
+def test_stability_gate_defers_growing_files(tmp_path, engine):
+    svc = DesensitizationService(
+        ServiceConfig(
+            inbox_dir=str(tmp_path / "inbox"),
+            output_dir=str(tmp_path / "out"),
+            stable_polls=1,
+        ),
+        _pcfg(tmp_path),
+        engine,
+    )
+    f = tmp_path / "inbox" / "up.mp4"
+    f.write_bytes(b"a" * 10)
+    assert svc.scan() == []  # first sighting: not yet stable
+    f.write_bytes(b"a" * 20)  # still uploading
+    os.utime(f, (1, 1))  # force distinct mtime signature
+    assert svc.scan() == []
+    assert svc.scan() != []  # unchanged across a full poll -> claimable
+
+
+def test_graceful_stop_between_jobs(tmp_path, engine):
+    svc = _service(tmp_path, engine)
+    stop = threading.Event()
+    stop.set()
+    assert svc.run(stop) == 0
+
+
+@needs_native
+def test_serve_cli_end_to_end(tmp_path):
+    """The full daemon entrypoint: config + flags -> engine -> one job."""
+    from video_desensitization_tpu.cli.serve import main as serve_main
+
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        "[PATHS]\nmodel_path=random\nmodel_weights=random\n"
+        "record_dir=\noutput_h265_dir=\noutput_videos_dir=\n"
+        "temp_directory_base=\nrecord_output_dir=\n"
+        "[SETTINGS]\nbatch_size=4\n"
+        "[TPU]\ninput_size=128\nmax_detections=8\ndtype=float32\n"
+        "confidence=0.01\noutput_fps=30\n"
+        f"[SERVICE]\ninbox_dir={tmp_path / 'inbox'}\n"
+        f"output_dir={tmp_path / 'out'}\n"
+        "poll_interval=0.05\nstable_polls=0\n"
+    )
+    os.makedirs(tmp_path / "inbox")
+    _write_video(tmp_path / "inbox" / "cam.mp4")
+    rc = serve_main([str(ini), "--no-plates", "--max-jobs", "1"])
+    assert rc == 0
+    assert (tmp_path / "out" / "cam_processed.mp4").exists()

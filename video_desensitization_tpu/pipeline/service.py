@@ -1,0 +1,452 @@
+"""Resident serving daemon: a watch-folder desensitization service.
+
+The reference is a one-shot batch script (run.sh -> combine_detect.py
+__main__, combine_detect.py:786-990): every invocation pays model load +
+first-batch compile, then exits. A production deployment wants a *resident*
+service — the detectors stay compiled on the chip and jobs stream through.
+This module provides that:
+
+* **Inbox watching** — `.record` jobs (including `.record.0000N` segment
+  sets, claimed as one unit) and plain video files dropped into
+  ``inbox_dir`` are picked up automatically. A file is only claimed once its
+  (size, mtime) is unchanged across ``stable_polls`` successive polls, so
+  in-progress uploads are never half-read.
+* **Atomic multi-worker claims** — a job is claimed by ``os.rename`` of its
+  lexicographically-first member into a private work directory. rename(2) is
+  atomic on a POSIX filesystem, so any number of service processes (one per
+  TPU host) can share one inbox; exactly one wins each job, losers see
+  ``FileNotFoundError`` and move on.
+* **Journal + status** — every finished job appends one JSON line to
+  ``service_journal.jsonl``; a stdlib HTTP endpoint (``/healthz``,
+  ``/status``) exposes live counters for load balancers / monitoring.
+* **Crash recovery** — work directories left behind by a killed worker are
+  re-queued on startup via ``recover_orphans``.
+
+The device side is untouched: jobs run through the exact same
+``process_record_job`` / ``process_single_video`` pipelines as the one-shot
+CLI, so all batching/sharding/resume semantics apply per job.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+import shutil
+import threading
+import time
+from typing import Dict, List, Optional, Tuple
+
+from video_desensitization_tpu.api.config import PipelineConfig
+from video_desensitization_tpu.utils.logging import get_logger
+
+_SEGMENT_RE = re.compile(r"^(?P<base>.+\.record)\.(?P<seg>\d{5,})$")
+
+JOURNAL_NAME = "service_journal.jsonl"
+
+
+@dataclasses.dataclass
+class ServiceConfig:
+    inbox_dir: str
+    output_dir: str
+    work_dir: str = ""  # default: <inbox>/.work
+    done_dir: str = ""  # default: <inbox>/.done ("" + delete_inputs -> remove)
+    failed_dir: str = ""  # default: <inbox>/.failed
+    poll_interval_s: float = 2.0
+    stable_polls: int = 1  # extra unchanged polls required before claiming
+    delete_inputs: bool = False  # remove inputs after success instead of .done
+    http_port: Optional[int] = None  # None = no HTTP endpoint; 0 = ephemeral
+
+    def __post_init__(self):
+        self.work_dir = self.work_dir or os.path.join(self.inbox_dir, ".work")
+        self.done_dir = self.done_dir or os.path.join(self.inbox_dir, ".done")
+        self.failed_dir = self.failed_dir or os.path.join(self.inbox_dir, ".failed")
+
+
+def load_service_config(path: str) -> ServiceConfig:
+    """Read the optional [SERVICE] section of a config.ini."""
+    import configparser
+
+    parser = configparser.ConfigParser()
+    if not parser.read(path, encoding="utf-8"):
+        raise FileNotFoundError(f"config file not found: {path}")
+    if "SERVICE" not in parser:
+        raise ValueError(
+            "config has no [SERVICE] section (keys: inbox_dir, output_dir, "
+            "poll_interval, stable_polls, http_port, delete_inputs)"
+        )
+    s = parser["SERVICE"]
+    if "inbox_dir" not in s or "output_dir" not in s:
+        raise ValueError("[SERVICE] requires inbox_dir and output_dir")
+    port = s.get("http_port", "").strip()
+    return ServiceConfig(
+        inbox_dir=s.get("inbox_dir").strip(),
+        output_dir=s.get("output_dir").strip(),
+        work_dir=s.get("work_dir", "").strip(),
+        done_dir=s.get("done_dir", "").strip(),
+        failed_dir=s.get("failed_dir", "").strip(),
+        poll_interval_s=s.getfloat("poll_interval", 2.0),
+        stable_polls=s.getint("stable_polls", 1),
+        delete_inputs=s.getboolean("delete_inputs", False),
+        http_port=int(port) if port else None,
+    )
+
+
+@dataclasses.dataclass
+class Job:
+    """One claimable unit of work: a record (+segments) or a single video."""
+
+    name: str  # display/job-dir name, e.g. "drive01.record" or "cam.mp4"
+    kind: str  # "record" | "video"
+    members: List[str]  # file names inside the inbox, sorted; [0] is the lock
+
+
+def group_inbox(names: List[str], video_formats: List[str]) -> List[Job]:
+    """Group a directory listing into claimable jobs.
+
+    ``a.record`` → one record job; ``a.record.00000`` + ``a.record.00001`` →
+    one record job with both segments; ``cam.mp4`` → one video job. Unknown
+    extensions are ignored (they stay in the inbox untouched).
+    """
+    segments: Dict[str, List[str]] = {}
+    jobs: List[Job] = []
+    for n in sorted(names):
+        if n.startswith("."):
+            continue
+        m = _SEGMENT_RE.match(n)
+        if m:
+            segments.setdefault(m.group("base"), []).append(n)
+        elif n.endswith(".record"):
+            segments.setdefault(n, []).append(n)
+        else:
+            ext = os.path.splitext(n)[1].lower().lstrip(".")
+            if ext in video_formats:
+                jobs.append(Job(name=n, kind="video", members=[n]))
+    for base, members in sorted(segments.items()):
+        jobs.append(Job(name=base, kind="record", members=sorted(members)))
+    return jobs
+
+
+class DesensitizationService:
+    """Long-running watch-folder service around a resident engine."""
+
+    def __init__(
+        self,
+        service_cfg: ServiceConfig,
+        pipeline_cfg: PipelineConfig,
+        engine,
+    ):
+        self.cfg = service_cfg
+        self.pcfg = pipeline_cfg
+        self.engine = engine
+        self.log = get_logger("service")
+        self._stat_history: Dict[str, Tuple[int, float, int]] = {}
+        self._seq = 0
+        self._lock = threading.Lock()
+        self.status = {
+            "started_ts": time.time(),
+            "jobs_done": 0,
+            "jobs_failed": 0,
+            "frames": 0,
+            "faces": 0,
+            "plates": 0,
+            "current": None,
+            "last_error": None,
+        }
+        for d in (
+            self.cfg.inbox_dir,
+            self.cfg.output_dir,
+            self.cfg.work_dir,
+            self.cfg.failed_dir,
+        ):
+            os.makedirs(d, exist_ok=True)
+        if not self.cfg.delete_inputs:
+            os.makedirs(self.cfg.done_dir, exist_ok=True)
+        self.journal_path = os.path.join(self.cfg.output_dir, JOURNAL_NAME)
+        self._httpd = None
+        self.http_port: Optional[int] = None
+        if self.cfg.http_port is not None:
+            self._start_http(self.cfg.http_port)
+
+    # -- inbox scanning ----------------------------------------------------
+
+    def _stable(self, path: str) -> bool:
+        """True once (size, mtime) has survived ``stable_polls`` extra polls."""
+        try:
+            st = os.stat(path)
+        except OSError:
+            return False
+        sig = (st.st_size, st.st_mtime)
+        prev = self._stat_history.get(path)
+        if prev is not None and (prev[0], prev[1]) == sig:
+            count = prev[2] + 1
+        else:
+            count = 0
+        self._stat_history[path] = (*sig, count)
+        return count >= self.cfg.stable_polls
+
+    def scan(self) -> List[Job]:
+        try:
+            names = os.listdir(self.cfg.inbox_dir)
+        except OSError as e:
+            self.log.error("inbox unreadable: %s", e)
+            return []
+        jobs = group_inbox(names, self.pcfg.video_formats)
+        live = {os.path.join(self.cfg.inbox_dir, n) for j in jobs for n in j.members}
+        for stale in [p for p in self._stat_history if p not in live]:
+            del self._stat_history[stale]
+        return [
+            j
+            for j in jobs
+            if all(
+                self._stable(os.path.join(self.cfg.inbox_dir, n)) for n in j.members
+            )
+        ]
+
+    # -- claiming ----------------------------------------------------------
+
+    def claim(self, job: Job) -> Optional[str]:
+        """Atomically claim a job; returns its private work dir or None if
+        another worker won the race (or members vanished)."""
+        self._seq += 1
+        job_dir = os.path.join(
+            self.cfg.work_dir, f"{job.name}.{os.getpid()}.{self._seq}"
+        )
+        os.makedirs(os.path.join(job_dir, "in"), exist_ok=True)
+        lock_member = job.members[0]
+        try:
+            os.rename(
+                os.path.join(self.cfg.inbox_dir, lock_member),
+                os.path.join(job_dir, "in", lock_member),
+            )
+        except FileNotFoundError:
+            shutil.rmtree(job_dir, ignore_errors=True)
+            return None
+        # We own the job now: every other worker lost the rename race on the
+        # first member and never touches the rest.
+        for n in job.members[1:]:
+            try:
+                os.rename(
+                    os.path.join(self.cfg.inbox_dir, n),
+                    os.path.join(job_dir, "in", n),
+                )
+            except FileNotFoundError:
+                self.log.warning("segment %s vanished while claiming %s", n, job.name)
+        with open(os.path.join(job_dir, "job.json"), "w") as f:
+            json.dump({"name": job.name, "kind": job.kind, "members": job.members}, f)
+        return job_dir
+
+    def recover_orphans(self) -> int:
+        """Re-queue inputs from work dirs abandoned by a crashed worker."""
+        n = 0
+        for d in sorted(os.listdir(self.cfg.work_dir)):
+            job_dir = os.path.join(self.cfg.work_dir, d)
+            in_dir = os.path.join(job_dir, "in")
+            if not os.path.isdir(in_dir):
+                continue
+            for f in os.listdir(in_dir):
+                os.rename(
+                    os.path.join(in_dir, f), os.path.join(self.cfg.inbox_dir, f)
+                )
+                n += 1
+            shutil.rmtree(job_dir, ignore_errors=True)
+        if n:
+            self.log.info("recovered %d orphaned input file(s) back to inbox", n)
+        return n
+
+    # -- processing --------------------------------------------------------
+
+    def _process(self, job: Job, job_dir: str) -> dict:
+        in_dir = os.path.join(job_dir, "in")
+        if job.kind == "record":
+            from video_desensitization_tpu.pipeline.video_pipeline import (
+                process_record_job,
+            )
+
+            out_base = os.path.join(self.cfg.output_dir, job.name)
+            cfg = dataclasses.replace(
+                self.pcfg,
+                record_dir=in_dir,
+                output_h265_dir=os.path.join(job_dir, "h265"),
+                output_videos_dir=os.path.join(out_base, "videos"),
+                temp_directory_base=os.path.join(job_dir, "tmp"),
+                record_output_dir=os.path.join(out_base, "record"),
+            )
+            stats = process_record_job(cfg, self.engine)
+            if stats.videos_failed:
+                raise RuntimeError(
+                    f"{stats.videos_failed} stream(s) failed in {job.name}"
+                )
+            return {
+                "frames": stats.frames,
+                "faces": stats.faces,
+                "plates": stats.plates,
+                "videos": stats.videos_processed,
+                "record": stats.record_path,
+            }
+        from video_desensitization_tpu.pipeline.video_pipeline import (
+            process_single_video,
+        )
+
+        res = process_single_video(
+            os.path.join(in_dir, job.members[0]),
+            self.cfg.output_dir,
+            self.engine,
+            batch_size=self.pcfg.batch_size,
+            output_fps=self.pcfg.output_fps,
+        )
+        if not res.success:
+            raise RuntimeError(f"video pipeline failed for {job.name}")
+        return {"frames": res.frames, "faces": res.faces, "plates": res.plates}
+
+    def _journal(self, entry: dict) -> None:
+        with open(self.journal_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def _finalize(self, job: Job, job_dir: str, ok: bool, error: str = "") -> None:
+        in_dir = os.path.join(job_dir, "in")
+        if ok and self.cfg.delete_inputs:
+            pass  # inputs removed with the work dir below
+        else:
+            dest = self.cfg.done_dir if ok else self.cfg.failed_dir
+            os.makedirs(dest, exist_ok=True)
+            for f in os.listdir(in_dir):
+                target = os.path.join(dest, f)
+                if os.path.exists(target):
+                    target = os.path.join(dest, f"{f}.{int(time.time())}")
+                os.rename(os.path.join(in_dir, f), target)
+            if not ok and error:
+                with open(os.path.join(dest, f"{job.name}.error.txt"), "w") as f:
+                    f.write(error)
+        shutil.rmtree(job_dir, ignore_errors=True)
+
+    def run_job(self, job: Job, job_dir: str) -> bool:
+        t0 = time.time()
+        with self._lock:
+            self.status["current"] = job.name
+        try:
+            stats = self._process(job, job_dir)
+        except Exception as e:  # noqa: BLE001 — service must outlive any job
+            self.log.error("job %s FAILED: %s", job.name, e)
+            self._finalize(job, job_dir, ok=False, error=str(e))
+            with self._lock:
+                self.status["jobs_failed"] += 1
+                self.status["last_error"] = f"{job.name}: {e}"
+                self.status["current"] = None
+            self._journal(
+                {
+                    "ts": time.time(),
+                    "job": job.name,
+                    "kind": job.kind,
+                    "ok": False,
+                    "error": str(e),
+                    "wall_s": round(time.time() - t0, 3),
+                }
+            )
+            return False
+        self._finalize(job, job_dir, ok=True)
+        with self._lock:
+            self.status["jobs_done"] += 1
+            self.status["frames"] += stats.get("frames", 0)
+            self.status["faces"] += stats.get("faces", 0)
+            self.status["plates"] += stats.get("plates", 0)
+            self.status["current"] = None
+        self._journal(
+            {
+                "ts": time.time(),
+                "job": job.name,
+                "kind": job.kind,
+                "ok": True,
+                **stats,
+                "wall_s": round(time.time() - t0, 3),
+            }
+        )
+        self.log.info(
+            "job %s done in %.1fs (%s)", job.name, time.time() - t0, stats
+        )
+        return True
+
+    def run(
+        self, stop: Optional[threading.Event] = None, max_jobs: Optional[int] = None
+    ) -> int:
+        """Serve until ``stop`` is set (or ``max_jobs`` jobs finished).
+
+        Returns the number of jobs handled. The current job always runs to
+        completion — ``stop`` is only checked between jobs, so SIGTERM drains
+        gracefully.
+        """
+        stop = stop or threading.Event()
+        if max_jobs is not None and max_jobs <= 0:
+            self.shutdown()
+            return 0
+        self.recover_orphans()
+        handled = 0
+        self.log.info(
+            "serving: inbox=%s output=%s%s",
+            self.cfg.inbox_dir,
+            self.cfg.output_dir,
+            f" http=:{self.http_port}" if self.http_port is not None else "",
+        )
+        while not stop.is_set():
+            claimed_any = False
+            for job in self.scan():
+                if stop.is_set():
+                    break
+                job_dir = self.claim(job)
+                if job_dir is None:
+                    continue
+                claimed_any = True
+                self.run_job(job, job_dir)
+                handled += 1
+                if max_jobs is not None and handled >= max_jobs:
+                    self.shutdown()
+                    return handled
+            if not claimed_any:
+                stop.wait(self.cfg.poll_interval_s)
+        self.shutdown()
+        return handled
+
+    # -- HTTP status endpoint ---------------------------------------------
+
+    def _start_http(self, port: int) -> None:
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        service = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 — stdlib naming
+                if self.path == "/healthz":
+                    body = b"ok\n"
+                elif self.path == "/status":
+                    with service._lock:
+                        snap = dict(service.status)
+                    snap["uptime_s"] = round(time.time() - snap["started_ts"], 1)
+                    body = (json.dumps(snap) + "\n").encode()
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "application/json" if self.path == "/status" else "text/plain",
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.http_port = self._httpd.server_address[1]
+        threading.Thread(
+            target=self._httpd.serve_forever, name="vdt-http", daemon=True
+        ).start()
+
+    def shutdown(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
