@@ -155,6 +155,25 @@ def test_record_job_cobatched_on_mesh(face, tmp_path):
             assert sum(1 for _ in dec) == len(pkts)
 
 
+def test_shard_batch_multihost_single_process_equivalence(face):
+    """shard_batch_multihost must equal shard_batch when process_count == 1
+    (the degenerate case of the per-host local-feed path; on a pod each host
+    passes only its chips' frames and no cross-host transfer happens)."""
+    from video_desensitization_tpu.parallel.mesh import shard_batch_multihost
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(7)
+    batch = {
+        "frames": rng.integers(0, 255, (8, 16, 16, 3), dtype=np.uint8),
+        "shapes": rng.normal(size=(8, 2)).astype(np.float32),
+    }
+    a = shard_batch(mesh, batch)
+    b = shard_batch_multihost(mesh, batch)
+    for k in batch:
+        assert b[k].sharding == a[k].sharding
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 def test_hlo_collective_structure(face):
     """Inspect compiled HLO: inference over the data axis must insert ZERO
     collectives (frames are independent — the scaling-book sanity check);

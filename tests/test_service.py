@@ -232,6 +232,9 @@ def test_http_status_endpoint(tmp_path, engine):
         status = json.loads(urllib.request.urlopen(f"{base}/status").read())
         assert status["jobs_done"] == 0
         assert "uptime_s" in status
+        metrics = urllib.request.urlopen(f"{base}/metrics").read().decode()
+        assert "# TYPE vdt_jobs_done counter" in metrics
+        assert "vdt_busy 0" in metrics
         with pytest.raises(urllib.error.HTTPError):
             urllib.request.urlopen(f"{base}/nope")
     finally:

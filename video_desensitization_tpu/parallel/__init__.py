@@ -11,15 +11,21 @@ communication inventory" for the mapping.
 from video_desensitization_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
+    data_parallel_program,
+    distributed_init,
     replicated,
     shard_batch,
+    shard_batch_multihost,
     shard_params,
 )
 
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "data_parallel_program",
+    "distributed_init",
     "replicated",
     "shard_batch",
+    "shard_batch_multihost",
     "shard_params",
 ]

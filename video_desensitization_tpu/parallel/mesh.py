@@ -73,6 +73,51 @@ def shard_params(mesh: Mesh, params):
     return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), params)
 
 
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host (multi-process) JAX for a pod slice.
+
+    On Cloud TPU pods every argument is auto-discovered from the metadata
+    server, so hosts just call ``distributed_init()``; elsewhere pass the
+    coordinator explicitly. After this, ``jax.devices()`` is the GLOBAL
+    device list and ``make_mesh()`` spans the whole slice — the data axis
+    rides ICI within a slice and DCN across slices, ordered by
+    ``jax.devices()`` enumeration. No-op when already initialized.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized — idempotent entry point
+        if "already" not in str(e).lower():
+            raise
+
+
+def shard_batch_multihost(mesh: Mesh, batch):
+    """Assemble a global batch from per-process local data.
+
+    Multi-host analog of ``shard_batch``: each host passes ONLY the frames
+    for its own chips (global batch = concat over processes in process
+    order), and ``jax.make_array_from_process_local_data`` builds the global
+    sharded Array without any cross-host transfer — each host's frames DMA
+    straight to its local chips. Single-process it degenerates to
+    ``shard_batch`` exactly.
+    """
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            batch_sharding(mesh, np.ndim(x)), np.asarray(x)
+        ),
+        batch,
+    )
+
+
 def data_parallel_program(mesh: Mesh, fn, n_params: int, n_batch_args: int, n_out: int):
     """Wrap ``fn(params..., batch_arrays...)`` in ``shard_map`` over ``data``.
 

@@ -423,6 +423,28 @@ class DesensitizationService:
                         snap = dict(service.status)
                     snap["uptime_s"] = round(time.time() - snap["started_ts"], 1)
                     body = (json.dumps(snap) + "\n").encode()
+                elif self.path == "/metrics":
+                    # Prometheus text exposition format, scrape-ready.
+                    with service._lock:
+                        snap = dict(service.status)
+                    lines = []
+                    for key, mtype in (
+                        ("jobs_done", "counter"),
+                        ("jobs_failed", "counter"),
+                        ("frames", "counter"),
+                        ("faces", "counter"),
+                        ("plates", "counter"),
+                    ):
+                        lines.append(f"# TYPE vdt_{key} {mtype}")
+                        lines.append(f"vdt_{key} {snap[key]}")
+                    lines.append("# TYPE vdt_uptime_seconds gauge")
+                    lines.append(
+                        f"vdt_uptime_seconds "
+                        f"{time.time() - snap['started_ts']:.1f}"
+                    )
+                    lines.append("# TYPE vdt_busy gauge")
+                    lines.append(f"vdt_busy {int(snap['current'] is not None)}")
+                    body = ("\n".join(lines) + "\n").encode()
                 else:
                     self.send_response(404)
                     self.end_headers()
