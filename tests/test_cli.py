@@ -85,6 +85,28 @@ def test_cli_images_mode(tmp_path):
     assert all(f.startswith("processed_") for f in outs)
 
 
+def test_cli_profile_flag_writes_trace(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(2)
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    cv2.imwrite(
+        str(imgdir / "f0.jpg"),
+        rng.integers(0, 255, (96, 160, 3), dtype=np.uint8),
+    )
+    trace_dir = tmp_path / "trace"
+    rc = main([
+        _tiny_config(tmp_path), "--images", str(imgdir),
+        "--out", str(tmp_path / "out"), "--no-plates",
+        "--profile", str(trace_dir),
+    ])
+    assert rc == 0
+    # jax.profiler writes plugins/profile/<ts>/*.xplane.pb under the dir.
+    found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+    assert any(f.endswith(".xplane.pb") for f in found)
+
+
 @needs_native
 def test_cli_record_job_end_to_end(tmp_path):
     """The config-driven record-job branch of the CLI: unpack -> detect ->

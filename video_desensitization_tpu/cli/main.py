@@ -120,6 +120,12 @@ def main(argv=None) -> int:
         help="explicitly allow running with randomly-initialized detectors "
         "(testing only; output will NOT be desensitized)",
     )
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="capture a jax.profiler trace of the whole job into DIR "
+        "(view with TensorBoard/xprof)",
+    )
     args = p.parse_args(argv)
 
     log = setup_logger()
@@ -141,6 +147,21 @@ def main(argv=None) -> int:
         allow_random=args.allow_random_weights,
     )
 
+    import contextlib
+
+    trace = contextlib.nullcontext()
+    if args.profile:
+        from video_desensitization_tpu.utils.timers import profile_trace
+
+        trace = profile_trace(args.profile)
+
+    with trace:
+        _run_job(args, cfg, engine, log)
+    log.info("total wall time: %.1fs", time.time() - t0)
+    return 0
+
+
+def _run_job(args, cfg, engine, log) -> None:
     if args.video:
         from video_desensitization_tpu.pipeline.streaming import process_video_stream
 
@@ -165,9 +186,6 @@ def main(argv=None) -> int:
 
         stats = process_record_job(cfg, engine)
         log.info("final record: %s", stats.record_path)
-
-    log.info("total wall time: %.1fs", time.time() - t0)
-    return 0
 
 
 if __name__ == "__main__":
