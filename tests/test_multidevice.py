@@ -224,6 +224,9 @@ def test_hlo_collective_structure(face):
     d1, p1, k1 = (np.asarray(x) for x in face_mesh.detect_padded(imgs))
     np.testing.assert_array_equal(k0, k1)
     np.testing.assert_allclose(p0, p1, rtol=1e-5, atol=1e-3)
+    # The reference-parity microbenchmark must survive a mesh too (it feeds
+    # a batch of 1 through the shard_mapped program via the pad path).
+    assert face_mesh.get_FPS(imgs[0], test_interval=1) > 0
 
     # Training: gradient all-reduce over data must appear.
     hw = (64, 64)

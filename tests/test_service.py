@@ -5,6 +5,7 @@ story (one-shot run.sh); this is the resident-deployment surface."""
 import json
 import os
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -213,14 +214,50 @@ def test_claim_is_atomic_across_workers(tmp_path, engine):
     assert (d1 is None) != (d2 is None), "exactly one worker must win"
 
 
-def test_recover_orphans(tmp_path, engine):
+def test_recover_orphans_dead_worker_only(tmp_path, engine):
+    import subprocess
+
     svc = _service(tmp_path, engine)
-    orphan = tmp_path / "inbox" / ".work" / "dead.mp4.123.1" / "in"
-    orphan.mkdir(parents=True)
-    (orphan / "dead.mp4").write_bytes(b"x")
+    work = tmp_path / "inbox" / ".work"
+
+    # A work dir claimed by a provably-dead same-host pid -> re-queued.
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead = work / "dead.mp4.1.1"
+    (dead / "in").mkdir(parents=True)
+    (dead / "in" / "dead.mp4").write_bytes(b"x")
+    (dead / "job.json").write_text(
+        json.dumps({"name": "dead.mp4", "kind": "video",
+                    "members": ["dead.mp4"],
+                    "host": os.uname().nodename, "pid": proc.pid})
+    )
+    # A work dir claimed by a live pid (ourselves) -> left alone.
+    live = work / "live.mp4.2.1"
+    (live / "in").mkdir(parents=True)
+    (live / "in" / "live.mp4").write_bytes(b"y")
+    (live / "job.json").write_text(
+        json.dumps({"name": "live.mp4", "kind": "video",
+                    "members": ["live.mp4"],
+                    "host": os.uname().nodename, "pid": os.getpid()})
+    )
+    # A fresh foreign-host claim (can't probe) -> presumed in flight.
+    foreign = work / "far.mp4.3.1"
+    (foreign / "in").mkdir(parents=True)
+    (foreign / "in" / "far.mp4").write_bytes(b"z")
+    (foreign / "job.json").write_text(
+        json.dumps({"name": "far.mp4", "kind": "video",
+                    "members": ["far.mp4"], "host": "other-host", "pid": 1})
+    )
     assert svc.recover_orphans() == 1
     assert (tmp_path / "inbox" / "dead.mp4").exists()
-    assert os.listdir(tmp_path / "inbox" / ".work") == []
+    assert (live / "in" / "live.mp4").exists()
+    assert (foreign / "in" / "far.mp4").exists()
+
+    # Once the foreign claim ages past the grace period it is reclaimed.
+    old = time.time() - svc.cfg.orphan_grace_s - 10
+    os.utime(foreign / "job.json", (old, old))
+    assert svc.recover_orphans() == 1
+    assert (tmp_path / "inbox" / "far.mp4").exists()
 
 
 def test_http_status_endpoint(tmp_path, engine):
@@ -247,6 +284,7 @@ def test_stability_gate_defers_growing_files(tmp_path, engine):
             inbox_dir=str(tmp_path / "inbox"),
             output_dir=str(tmp_path / "out"),
             stable_polls=1,
+            poll_interval_s=0.0,  # no spacing requirement for this unit test
         ),
         _pcfg(tmp_path),
         engine,
@@ -258,6 +296,25 @@ def test_stability_gate_defers_growing_files(tmp_path, engine):
     os.utime(f, (1, 1))  # force distinct mtime signature
     assert svc.scan() == []
     assert svc.scan() != []  # unchanged across a full poll -> claimable
+
+
+def test_stability_gate_requires_poll_spacing(tmp_path, engine):
+    """Back-to-back scans (the post-claim immediate rescan) must NOT count
+    as stability evidence — observations need real time between them."""
+    svc = DesensitizationService(
+        ServiceConfig(
+            inbox_dir=str(tmp_path / "inbox"),
+            output_dir=str(tmp_path / "out"),
+            stable_polls=1,
+            poll_interval_s=60.0,
+        ),
+        _pcfg(tmp_path),
+        engine,
+    )
+    f = tmp_path / "inbox" / "up.mp4"
+    f.write_bytes(b"a" * 10)
+    for _ in range(5):  # rapid rescans prove nothing
+        assert svc.scan() == []
 
 
 def test_graceful_stop_between_jobs(tmp_path, engine):

@@ -143,21 +143,28 @@ class Retinaface:
         b, h, w, _ = frames_u8.shape
         if image_shapes is None:
             image_shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+        frames_in, shapes_in = self._prepare_inputs(frames_u8, image_shapes)
+        dets, dets_px, keep = self._detect_fn(self.variables, frames_in, shapes_in)
         if self.mesh is not None:
-            from video_desensitization_tpu.parallel.mesh import (
-                batch_sharding,
-                pad_batch_to_devices,
-            )
-
-            n = self.mesh.devices.size
-            frames_u8, _ = pad_batch_to_devices(np.asarray(frames_u8), n)
-            image_shapes, _ = pad_batch_to_devices(np.asarray(image_shapes), n)
-            frames_u8 = jax.device_put(frames_u8, batch_sharding(self.mesh, 4))
-            image_shapes = jax.device_put(image_shapes, batch_sharding(self.mesh, 2))
-            dets, dets_px, keep = self._detect_fn(self.variables, frames_u8, image_shapes)
             return dets[:b], dets_px[:b], keep[:b]
-        return self._detect_fn(
-            self.variables, jnp.asarray(frames_u8), jnp.asarray(image_shapes)
+        return dets, dets_px, keep
+
+    def _prepare_inputs(self, frames_u8, image_shapes):
+        """Device-put inputs; on a mesh, pad dim 0 to the device count and
+        shard over ``data`` (the shard_mapped program requires divisibility)."""
+        if self.mesh is None:
+            return jnp.asarray(frames_u8), jnp.asarray(image_shapes)
+        from video_desensitization_tpu.parallel.mesh import (
+            batch_sharding,
+            pad_batch_to_devices,
+        )
+
+        n = self.mesh.devices.size
+        frames_u8, _ = pad_batch_to_devices(np.asarray(frames_u8), n)
+        image_shapes, _ = pad_batch_to_devices(np.asarray(image_shapes), n)
+        return (
+            jax.device_put(frames_u8, batch_sharding(self.mesh, 4)),
+            jax.device_put(image_shapes, batch_sharding(self.mesh, 2)),
         )
 
     # -- reference-parity API -------------------------------------------------
@@ -192,7 +199,7 @@ class Retinaface:
         (10 warmup + test_interval timed; face.py:155-180)."""
         batch = np.asarray(image, np.uint8)[None]
         shapes = np.array([[batch.shape[1], batch.shape[2]]], np.float32)
-        args = (self.variables, jnp.asarray(batch), jnp.asarray(shapes))
+        args = (self.variables, *self._prepare_inputs(batch, shapes))
         for _ in range(10):
             jax.block_until_ready(self._detect_fn(*args))
         t1 = time.time()

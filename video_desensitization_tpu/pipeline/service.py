@@ -50,13 +50,18 @@ JOURNAL_NAME = "service_journal.jsonl"
 class ServiceConfig:
     inbox_dir: str
     output_dir: str
-    work_dir: str = ""  # default: <inbox>/.work
+    work_dir: str = ""  # default: <inbox>/.work (MUST share the inbox's fs)
     done_dir: str = ""  # default: <inbox>/.done ("" + delete_inputs -> remove)
     failed_dir: str = ""  # default: <inbox>/.failed
     poll_interval_s: float = 2.0
     stable_polls: int = 1  # extra unchanged polls required before claiming
     delete_inputs: bool = False  # remove inputs after success instead of .done
     http_port: Optional[int] = None  # None = no HTTP endpoint; 0 = ephemeral
+    http_host: str = "127.0.0.1"  # bind 0.0.0.0 for external LB health probes
+    # Work dirs older than this are presumed abandoned and re-queued at
+    # startup (in addition to same-host dead-pid detection). Must exceed the
+    # longest plausible job.
+    orphan_grace_s: float = 6 * 3600.0
 
     def __post_init__(self):
         self.work_dir = self.work_dir or os.path.join(self.inbox_dir, ".work")
@@ -90,6 +95,8 @@ def load_service_config(path: str) -> ServiceConfig:
         stable_polls=s.getint("stable_polls", 1),
         delete_inputs=s.getboolean("delete_inputs", False),
         http_port=int(port) if port else None,
+        http_host=s.get("http_host", "127.0.0.1").strip(),
+        orphan_grace_s=s.getfloat("orphan_grace_s", 6 * 3600.0),
     )
 
 
@@ -141,7 +148,7 @@ class DesensitizationService:
         self.pcfg = pipeline_cfg
         self.engine = engine
         self.log = get_logger("service")
-        self._stat_history: Dict[str, Tuple[int, float, int]] = {}
+        self._stat_history: Dict[str, Tuple[int, float, int, float]] = {}
         self._seq = 0
         self._lock = threading.Lock()
         self.status = {
@@ -163,6 +170,15 @@ class DesensitizationService:
             os.makedirs(d, exist_ok=True)
         if not self.cfg.delete_inputs:
             os.makedirs(self.cfg.done_dir, exist_ok=True)
+        # Claiming relies on rename(2) atomicity, which requires the work dir
+        # on the SAME filesystem as the inbox — fail loudly at startup rather
+        # than EXDEV-crash on the first job.
+        if os.stat(self.cfg.inbox_dir).st_dev != os.stat(self.cfg.work_dir).st_dev:
+            raise ValueError(
+                f"work_dir {self.cfg.work_dir!r} is on a different filesystem "
+                f"than inbox_dir {self.cfg.inbox_dir!r}; atomic claims need "
+                "them co-located (done/failed dirs may live anywhere)"
+            )
         self.journal_path = os.path.join(self.cfg.output_dir, JOURNAL_NAME)
         self._httpd = None
         self.http_port: Optional[int] = None
@@ -172,18 +188,26 @@ class DesensitizationService:
     # -- inbox scanning ----------------------------------------------------
 
     def _stable(self, path: str) -> bool:
-        """True once (size, mtime) has survived ``stable_polls`` extra polls."""
+        """True once (size, mtime) has survived ``stable_polls`` extra polls.
+
+        Observations closer together than half a poll interval don't count —
+        the run loop rescans immediately after claiming a job, and two stats
+        microseconds apart prove nothing about an in-progress upload.
+        """
         try:
             st = os.stat(path)
         except OSError:
             return False
+        now = time.monotonic()
         sig = (st.st_size, st.st_mtime)
         prev = self._stat_history.get(path)
-        if prev is not None and (prev[0], prev[1]) == sig:
-            count = prev[2] + 1
-        else:
-            count = 0
-        self._stat_history[path] = (*sig, count)
+        if prev is None or (prev[0], prev[1]) != sig:
+            self._stat_history[path] = (*sig, 0, now)
+            return 0 >= self.cfg.stable_polls
+        size, mtime, count, last_ts = prev
+        if now - last_ts >= 0.5 * self.cfg.poll_interval_s:
+            count += 1
+            self._stat_history[path] = (size, mtime, count, now)
         return count >= self.cfg.stable_polls
 
     def scan(self) -> List[Job]:
@@ -213,44 +237,106 @@ class DesensitizationService:
         job_dir = os.path.join(
             self.cfg.work_dir, f"{job.name}.{os.getpid()}.{self._seq}"
         )
-        os.makedirs(os.path.join(job_dir, "in"), exist_ok=True)
-        lock_member = job.members[0]
         try:
-            os.rename(
-                os.path.join(self.cfg.inbox_dir, lock_member),
-                os.path.join(job_dir, "in", lock_member),
-            )
-        except FileNotFoundError:
-            shutil.rmtree(job_dir, ignore_errors=True)
-            return None
-        # We own the job now: every other worker lost the rename race on the
-        # first member and never touches the rest.
-        for n in job.members[1:]:
+            os.makedirs(os.path.join(job_dir, "in"), exist_ok=True)
+            lock_member = job.members[0]
             try:
                 os.rename(
-                    os.path.join(self.cfg.inbox_dir, n),
-                    os.path.join(job_dir, "in", n),
+                    os.path.join(self.cfg.inbox_dir, lock_member),
+                    os.path.join(job_dir, "in", lock_member),
                 )
-            except FileNotFoundError:
-                self.log.warning("segment %s vanished while claiming %s", n, job.name)
-        with open(os.path.join(job_dir, "job.json"), "w") as f:
-            json.dump({"name": job.name, "kind": job.kind, "members": job.members}, f)
+            except FileNotFoundError:  # another worker won the race
+                shutil.rmtree(job_dir, ignore_errors=True)
+                return None
+            # We own the job now: every other worker lost the rename race on
+            # the first member and never touches the rest.
+            for n in job.members[1:]:
+                try:
+                    os.rename(
+                        os.path.join(self.cfg.inbox_dir, n),
+                        os.path.join(job_dir, "in", n),
+                    )
+                except FileNotFoundError:
+                    self.log.warning(
+                        "segment %s vanished while claiming %s", n, job.name
+                    )
+            with open(os.path.join(job_dir, "job.json"), "w") as f:
+                json.dump(
+                    {
+                        "name": job.name,
+                        "kind": job.kind,
+                        "members": job.members,
+                        "host": os.uname().nodename,
+                        "pid": os.getpid(),
+                    },
+                    f,
+                )
+        except OSError as e:  # disk full, permissions, ... — skip, don't die
+            self.log.error("claim of %s failed: %s", job.name, e)
+            shutil.rmtree(job_dir, ignore_errors=True)
+            return None
         return job_dir
 
+    def _owner_alive(self, job_dir: str) -> bool:
+        """Best-effort liveness of the worker that claimed ``job_dir``.
+
+        Same host: the recorded pid is probed directly. Other hosts (shared
+        inbox over NFS): liveness can't be probed, so the claim is presumed
+        live until it is older than ``orphan_grace_s``.
+        """
+        meta_path = os.path.join(job_dir, "job.json")
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            age = time.time() - os.stat(meta_path).st_mtime
+        except (OSError, ValueError):
+            # No metadata: the claimer died mid-claim. A live claimer writes
+            # job.json within milliseconds, so only a brand-new dir is
+            # ambiguous.
+            try:
+                age = time.time() - os.stat(job_dir).st_mtime
+            except OSError:
+                return False
+            return age < max(10.0, 2 * self.cfg.poll_interval_s)
+        if meta.get("host") == os.uname().nodename and meta.get("pid"):
+            if meta["pid"] == os.getpid():
+                return True
+            try:
+                os.kill(int(meta["pid"]), 0)
+                return True  # process exists -> in flight
+            except ProcessLookupError:
+                return False
+            except (OSError, ValueError):
+                pass  # permission/parse oddity: fall back to the age rule
+        return age < self.cfg.orphan_grace_s
+
     def recover_orphans(self) -> int:
-        """Re-queue inputs from work dirs abandoned by a crashed worker."""
+        """Re-queue inputs from work dirs abandoned by a DEAD worker.
+
+        Work dirs whose claiming process is still alive (same-host pid
+        probe) or younger than ``orphan_grace_s`` (foreign hosts on a shared
+        inbox) are left alone — stealing an in-flight job would double-
+        process it and crash the original worker's finalize.
+        """
         n = 0
         for d in sorted(os.listdir(self.cfg.work_dir)):
             job_dir = os.path.join(self.cfg.work_dir, d)
             in_dir = os.path.join(job_dir, "in")
             if not os.path.isdir(in_dir):
                 continue
-            for f in os.listdir(in_dir):
-                os.rename(
-                    os.path.join(in_dir, f), os.path.join(self.cfg.inbox_dir, f)
-                )
-                n += 1
-            shutil.rmtree(job_dir, ignore_errors=True)
+            if self._owner_alive(job_dir):
+                self.log.info("leaving in-flight work dir %s alone", d)
+                continue
+            try:
+                for f in os.listdir(in_dir):
+                    os.rename(
+                        os.path.join(in_dir, f),
+                        os.path.join(self.cfg.inbox_dir, f),
+                    )
+                    n += 1
+                shutil.rmtree(job_dir, ignore_errors=True)
+            except OSError as e:
+                self.log.error("could not recover %s: %s", d, e)
         if n:
             self.log.info("recovered %d orphaned input file(s) back to inbox", n)
         return n
@@ -313,9 +399,12 @@ class DesensitizationService:
             os.makedirs(dest, exist_ok=True)
             for f in os.listdir(in_dir):
                 target = os.path.join(dest, f)
-                if os.path.exists(target):
-                    target = os.path.join(dest, f"{f}.{int(time.time())}")
-                os.rename(os.path.join(in_dir, f), target)
+                suffix = 0
+                while os.path.exists(target):  # never clobber an archive
+                    suffix += 1
+                    target = os.path.join(dest, f"{f}.{int(time.time())}.{suffix}")
+                # shutil.move: done/failed dirs may be on another filesystem.
+                shutil.move(os.path.join(in_dir, f), target)
             if not ok and error:
                 with open(os.path.join(dest, f"{job.name}.error.txt"), "w") as f:
                     f.write(error)
@@ -329,7 +418,10 @@ class DesensitizationService:
             stats = self._process(job, job_dir)
         except Exception as e:  # noqa: BLE001 — service must outlive any job
             self.log.error("job %s FAILED: %s", job.name, e)
-            self._finalize(job, job_dir, ok=False, error=str(e))
+            try:
+                self._finalize(job, job_dir, ok=False, error=str(e))
+            except OSError as fe:
+                self.log.error("finalize of failed %s also failed: %s", job.name, fe)
             with self._lock:
                 self.status["jobs_failed"] += 1
                 self.status["last_error"] = f"{job.name}: {e}"
@@ -345,7 +437,12 @@ class DesensitizationService:
                 }
             )
             return False
-        self._finalize(job, job_dir, ok=True)
+        try:
+            self._finalize(job, job_dir, ok=True)
+        except OSError as fe:
+            # Output exists and the journal will say so; the stuck input is
+            # recovered (or re-archived) on a later startup.
+            self.log.error("finalize of %s failed: %s", job.name, fe)
         with self._lock:
             self.status["jobs_done"] += 1
             self.status["frames"] += stats.get("frames", 0)
@@ -461,7 +558,7 @@ class DesensitizationService:
             def log_message(self, *a):  # quiet
                 pass
 
-        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self._httpd = ThreadingHTTPServer((self.cfg.http_host, port), Handler)
         self.http_port = self._httpd.server_address[1]
         threading.Thread(
             target=self._httpd.serve_forever, name="vdt-http", daemon=True
