@@ -155,6 +155,28 @@ def test_record_job_cobatched_on_mesh(face, tmp_path):
             assert sum(1 for _ in dec) == len(pkts)
 
 
+def test_plate_detector_on_mesh_matches_single_device():
+    from video_desensitization_tpu.detect.plate import PlateDetector
+
+    mesh = make_mesh()
+    solo = PlateDetector(
+        model_path=None, variant="n", confidence=0.01,
+        input_shape=(128, 128), max_detections=4, dtype=jnp.float32,
+    )
+    sharded = PlateDetector(
+        variables=solo.variables, confidence=0.01, variant="n",
+        input_shape=(128, 128), max_detections=4, dtype=jnp.float32,
+        mesh=mesh,
+    )
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, (len(jax.devices()) + 2, 96, 128, 3),
+                        dtype=np.uint8)
+    d0, k0 = (np.asarray(x) for x in solo.detect_padded(imgs))
+    d1, k1 = (np.asarray(x) for x in sharded.detect_padded(imgs))
+    np.testing.assert_array_equal(k0, k1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-3)
+
+
 def test_shard_batch_multihost_single_process_equivalence(face):
     """shard_batch_multihost must equal shard_batch when process_count == 1
     (the degenerate case of the per-host local-feed path; on a pod each host

@@ -41,16 +41,31 @@ class PlateDetector:
         input_shape=(640, 640),
         max_detections: int = 64,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         self.confidence = confidence
         self.nms_iou = nms_iou
         self.input_hw = (int(input_shape[0]), int(input_shape[1]))
         self.max_detections = max_detections
+        self.mesh = mesh
         self.net = YoloV8(num_classes=num_classes, variant=variant, dtype=dtype)
         self.variables = (
             variables if variables is not None else self._load(model_path)
         )
-        self._detect_jit = jax.jit(self._detect_program)
+        if mesh is not None:
+            # Same collective-free data parallelism as detect.face.Retinaface
+            # (shard_map over the data axis; see mesh.data_parallel_program).
+            from video_desensitization_tpu.parallel.mesh import (
+                data_parallel_program,
+            )
+
+            self._detect_jit = jax.jit(
+                data_parallel_program(
+                    mesh, self._detect_program, n_params=1, n_batch_args=2, n_out=2
+                )
+            )
+        else:
+            self._detect_jit = jax.jit(self._detect_program)
 
     def _load(self, model_path: Optional[str]) -> Dict:
         if model_path is None:
@@ -159,6 +174,19 @@ class PlateDetector:
     def detect_padded(self, frames_u8: np.ndarray):
         b, h, w, _ = frames_u8.shape
         shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+        if self.mesh is not None:
+            from video_desensitization_tpu.parallel.mesh import (
+                batch_sharding,
+                pad_batch_to_devices,
+            )
+
+            n = self.mesh.devices.size
+            frames_u8, _ = pad_batch_to_devices(np.asarray(frames_u8), n)
+            shapes, _ = pad_batch_to_devices(shapes, n)
+            frames_u8 = jax.device_put(frames_u8, batch_sharding(self.mesh, 4))
+            shapes = jax.device_put(shapes, batch_sharding(self.mesh, 2))
+            dets, keep = self._detect_jit(self.variables, frames_u8, shapes)
+            return dets[:b], keep[:b]
         return self._detect_jit(self.variables, jnp.asarray(frames_u8), jnp.asarray(shapes))
 
     def __call__(self, images, verbose: bool = False, conf: Optional[float] = None):
