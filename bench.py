@@ -211,6 +211,23 @@ def main() -> None:
             engine.process_batch(frames)
         fused_fps = fused_iters * batch / (time.perf_counter() - t0)
 
+    # ---- link weather: h2d bandwidth probe. The e2e windows swing with the
+    # host->chip link (tunneled here); recording the link rate alongside
+    # makes any given run's e2e number interpretable on its own.
+    link_mb = int(os.environ.get("BENCH_LINK_PROBE_MB", "24"))
+    link_h2d_mbps = None
+    if link_mb > 0:
+        probe = np.zeros((link_mb << 20,), np.uint8)
+        x = jax.device_put(probe)
+        np.asarray(x[:1])  # warm + sync (block_until_ready unreliable on axon)
+        rates = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            x = jax.device_put(probe)
+            np.asarray(x[:1])
+            rates.append(link_mb / (time.perf_counter() - t0))
+        link_h2d_mbps = max(rates)
+
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks",
@@ -237,6 +254,9 @@ def main() -> None:
                 "flops_per_frame": flops_per_frame,
                 "mfu": round(mfu, 4) if mfu is not None else None,
                 "fused_fps": round(fused_fps, 2) if fused_fps else None,
+                "link_h2d_mbps": (
+                    round(link_h2d_mbps, 1) if link_h2d_mbps else None
+                ),
             }
         )
     )

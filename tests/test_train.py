@@ -64,6 +64,33 @@ def test_train_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+def test_train_step_bfloat16_compute_keeps_f32_params():
+    """Mixed precision: bf16 forward/backward, f32 master weights/loss.
+    (cli/train.py --compute-dtype bfloat16 constructs exactly this model.)"""
+    model = RetinaFace(cfg=cfg_mnet, mode="train", dtype=jnp.bfloat16)
+    tx = optax.sgd(1e-2)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), HW, tx)
+    # Flax param_dtype default: parameters stay float32 under bf16 compute.
+    assert all(
+        p.dtype == jnp.float32 for p in jax.tree.leaves(state.params)
+    )
+    anchors = generate_anchors(HW, min_sizes=cfg_mnet["min_sizes"],
+                               steps=cfg_mnet["steps"])
+    a = num_anchors(HW, steps=cfg_mnet["steps"])
+    step = make_train_step(model, tx, anchors)
+    batch = _batch(4, a)
+    before = jax.tree.leaves(state.params)[0].copy()
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # still learns under bf16 compute
+    after = jax.tree.leaves(state.params)[0]
+    assert after.dtype == jnp.float32
+    assert not np.array_equal(np.asarray(before), np.asarray(after))
+
+
 def test_sharded_step_matches_single_device():
     model = RetinaFace(cfg=cfg_mnet, mode="train", dtype=jnp.float32)
     anchors = generate_anchors(HW, min_sizes=cfg_mnet["min_sizes"], steps=cfg_mnet["steps"])

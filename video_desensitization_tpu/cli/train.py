@@ -54,6 +54,13 @@ def parse_args(argv=None) -> argparse.Namespace:
         help="comma-separated EPOCH numbers where lr decays by --gamma",
     )
     p.add_argument("--warmup-epochs", type=float, default=1.0)
+    p.add_argument(
+        "--compute-dtype", default="float32",
+        choices=["float32", "bfloat16"],
+        help="forward/backward compute dtype; params, optimizer state, and "
+        "the loss stay float32 (bfloat16 runs the convs at the MXU's native "
+        "rate — ~2x step throughput on TPU)",
+    )
     p.add_argument("--mesh-data", type=int, default=1,
                    help="data-parallel axis size (0 = all devices / mesh-model; "
                    "1 = single device, no mesh)")
@@ -170,7 +177,14 @@ def train(args: argparse.Namespace):
                 f"{mesh.shape['data']}"
             )
 
-    model = RetinaFace(cfg=cfg, mode="train", dtype=jnp.float32)
+    # Compute dtype only: Flax keeps param_dtype float32, and the train step
+    # casts head outputs to f32 before the loss (train/step.py loss_fn), so
+    # bfloat16 here is pure mixed-precision — master weights stay exact.
+    model = RetinaFace(
+        cfg=cfg,
+        mode="train",
+        dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
+    )
     tx, schedule = build_optimizer(args, steps_per_epoch)
     state, tx = create_train_state(
         model, jax.random.PRNGKey(args.seed), hw, tx, mesh=mesh
