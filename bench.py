@@ -139,22 +139,21 @@ def main() -> None:
         fr = np.concatenate([sub] * reps)[:bsz]
         shapes_np = np.tile(np.array([[1080.0, 1920.0]], np.float32), (bsz, 1))
         geom_np = letterbox_geometry(shapes_np, pipe.input_hw)
+        aux_np = np.concatenate(
+            [shapes_np, np.asarray(geom_np, np.float32)], axis=1
+        )
         return (
             jnp.asarray(pipe.letterbox_batch(fr)),
-            jnp.asarray(shapes_np),
-            jnp.asarray(geom_np),
+            jnp.asarray(aux_np),
         )
 
-    lb_dev, shapes_dev, geom_dev = _device_args(batch)
+    lb_dev, aux_dev = _device_args(batch)
 
     def run_program():
-        out = pipe._program(
-            face.variables, plate_vars, lb_dev, shapes_dev, geom_dev
-        )
+        out = pipe._program(face.variables, plate_vars, lb_dev, aux_dev)
         # block_until_ready is unreliable on the axon platform: sync by
-        # fetching the (tiny) keep masks.
-        np.asarray(out[1])
-        np.asarray(out[3])
+        # fetching one packed row.
+        np.asarray(out[:1])
 
     run_program()  # warm (program already compiled by the e2e run)
     dev_iters = int(os.environ.get("BENCH_DEVICE_ITERS", "5"))
@@ -164,18 +163,17 @@ def main() -> None:
     device_fps_sync = dev_iters * batch / (time.perf_counter() - t0)
 
     dev_batch = int(os.environ.get("BENCH_DEVICE_BATCH", "128"))
-    lb_p, shp_p, geom_p = _device_args(dev_batch)
-    out = pipe._program(face.variables, plate_vars, lb_p, shp_p, geom_p)
-    np.asarray(out[1])  # compile + warm
+    lb_p, aux_p = _device_args(dev_batch)
+    out = pipe._program(face.variables, plate_vars, lb_p, aux_p)
+    np.asarray(out[:1])  # compile + warm
     pipe_iters = max(1, int(os.environ.get("BENCH_DEVICE_PIPE_ITERS", "4")))
     t0 = time.perf_counter()
     outs = [
-        pipe._program(face.variables, plate_vars, lb_p, shp_p, geom_p)
+        pipe._program(face.variables, plate_vars, lb_p, aux_p)
         for _ in range(pipe_iters)
     ]
     for o in outs:  # one sync after all dispatches are queued
-        np.asarray(o[1])
-        np.asarray(o[3])
+        np.asarray(o[:1])
     device_fps = pipe_iters * dev_batch / (time.perf_counter() - t0)
 
     # ---- MFU: XLA-costed flops of the fused program / chip peak.
@@ -183,7 +181,7 @@ def main() -> None:
     mfu = None
     try:
         compiled = pipe._program.lower(
-            face.variables, plate_vars, lb_dev, shapes_dev, geom_dev
+            face.variables, plate_vars, lb_dev, aux_dev
         ).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):

@@ -142,9 +142,16 @@ class TieredPipeline:
         h, w = self.input_hw
         transfer = self.transfer
 
-        def program(face_vars, plate_vars, content_u8, image_shapes, lb_geom):
+        def program(face_vars, plate_vars, content_u8, aux):
             # Rebuild the gray-128 letterbox canvas on device: the host sends
             # only the resized content (pad geometry is static under jit).
+            # ``aux`` packs [image_shapes (2) | lb_geom (4)] as one (B, 6)
+            # transfer, and the four logical outputs are packed into ONE
+            # (B, Kf*16 + Kp*7) float32 array: on a latency-bound link every
+            # separate h2d/d2h transfer costs a full round trip, so the per-
+            # batch link cost is 1 RTT each way instead of 3 + 4.
+            image_shapes = aux[:, :2]
+            lb_geom = aux[:, 2:]
             if transfer == "yuv420":
                 _, rows15, cw = content_u8.shape
                 ch = rows15 * 2 // 3
@@ -168,9 +175,34 @@ class TieredPipeline:
             else:
                 plate_px = jnp.zeros((lb_frames_u8.shape[0], 1, 6), jnp.float32)
                 plate_keep = jnp.zeros((lb_frames_u8.shape[0], 1), bool)
-            return face_px, face_keep, plate_px, plate_keep
+            b = lb_frames_u8.shape[0]
+            return jnp.concatenate(
+                [
+                    face_px.reshape(b, -1),
+                    face_keep.astype(jnp.float32),
+                    plate_px.reshape(b, -1),
+                    plate_keep.astype(jnp.float32),
+                ],
+                axis=1,
+            )
 
         return program
+
+    def _unpack(self, flat: np.ndarray):
+        """Inverse of the program's output packing -> (face_px, face_keep,
+        plate_px, plate_keep) numpy views."""
+        b = flat.shape[0]
+        kf = self.face.max_detections
+        kp = self.plate.max_detections if self.plate is not None else 1
+        o1 = kf * 15
+        o2 = o1 + kf
+        o3 = o2 + kp * 6
+        return (
+            flat[:, :o1].reshape(b, kf, 15),
+            flat[:, o1:o2] > 0.5,
+            flat[:, o2:o3].reshape(b, kp, 6),
+            flat[:, o3:] > 0.5,
+        )
 
     # -- stages ---------------------------------------------------------------
     def letterbox_batch(self, frames: np.ndarray) -> np.ndarray:
@@ -200,22 +232,29 @@ class TieredPipeline:
         )
 
     def dispatch(self, lb_frames: np.ndarray, image_shapes: np.ndarray):
-        """Async: enqueue transfer + device program; returns device futures."""
+        """Async: enqueue transfer + device program; returns a device future
+        (ONE packed output array — see _build_program)."""
         from video_desensitization_tpu.ops.image import letterbox_geometry
 
         plate_vars = self.plate.variables if self.plate is not None else None
         geom = letterbox_geometry(image_shapes, self.input_hw)
+        aux = np.concatenate(
+            [np.asarray(image_shapes, np.float32), np.asarray(geom, np.float32)],
+            axis=1,
+        )
         return self._program(
             self.face.variables,
             plate_vars,
             jnp.asarray(lb_frames),
-            jnp.asarray(image_shapes),
-            jnp.asarray(geom),
+            jnp.asarray(aux),
         )
 
     def finalize(self, frames: np.ndarray, device_out) -> TieredResult:
-        """Fetch detections and apply the exact reference mosaic on host."""
-        face_px, face_keep, plate_px, plate_keep = map(np.asarray, device_out)
+        """Fetch detections (one transfer) and apply the exact reference
+        mosaic on host."""
+        face_px, face_keep, plate_px, plate_keep = self._unpack(
+            np.asarray(device_out)
+        )
         b = frames.shape[0]
         face_boxes, plate_boxes, merged_all = [], [], []
         for i in range(b):
