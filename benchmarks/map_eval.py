@@ -46,7 +46,13 @@ def load_wider_annotations(txt_path: str) -> Dict[str, np.ndarray]:
         i += 1
         if not path:
             continue
-        n = int(lines[i].strip())
+        try:
+            n = int(lines[i].strip())
+        except (IndexError, ValueError) as e:
+            raise ValueError(
+                f"{txt_path}:{i + 1}: expected a box count after image "
+                f"entry {path!r} (truncated or malformed annotation file)"
+            ) from e
         i += 1
         boxes = []
         if n == 0:
@@ -59,10 +65,16 @@ def load_wider_annotations(txt_path: str) -> Dict[str, np.ndarray]:
                     for t in toks[:4]
                 ):
                     i += 1
-        for _ in range(n):
-            vals = lines[i].split()
+        for k in range(n):
+            try:
+                vals = lines[i].split()
+                x, y, w, h = (float(v) for v in vals[:4])
+            except (IndexError, ValueError) as e:
+                raise ValueError(
+                    f"{txt_path}:{i + 1}: expected box {k + 1}/{n} for image "
+                    f"{path!r} (truncated or malformed annotation file)"
+                ) from e
             i += 1
-            x, y, w, h = (float(v) for v in vals[:4])
             if w > 0 and h > 0:
                 boxes.append([x, y, x + w, y + h])
         gts[path] = np.asarray(boxes, np.float64).reshape(-1, 4)

@@ -94,6 +94,19 @@ def test_wider_annotation_parser(tmp_path):
     np.testing.assert_array_equal(gts["2--More/2_More_1.jpg"], [[1, 2, 4, 6]])
 
 
+def test_wider_parser_truncated_file_reports_location(tmp_path):
+    from benchmarks.map_eval import load_wider_annotations
+
+    bad = tmp_path / "trunc.txt"
+    bad.write_text("img/a.jpg\n3\n1 2 3 4\n")  # declares 3 boxes, has 1
+    with pytest.raises(ValueError, match="trunc.txt:4.*box 2/3"):
+        load_wider_annotations(str(bad))
+    bad2 = tmp_path / "nocount.txt"
+    bad2.write_text("img/a.jpg\n")
+    with pytest.raises(ValueError, match="expected a box count"):
+        load_wider_annotations(str(bad2))
+
+
 def test_evaluate_detector_end_to_end(tmp_path):
     """Full get_map_txt loop over a labeled synthetic set: a stub whose
     detections equal the ground truth must score AP 1.0 through the same

@@ -187,6 +187,31 @@ def test_full_repack_roundtrip(tmp_path, hevc_packets):
     assert n == len(hevc_packets)
 
 
+@needs_native
+def test_repack_never_leaks_unmatched_camera_topics(tmp_path, hevc_packets, caplog):
+    """A camera topic whose video failed to process (no matched output) must
+    be DROPPED from the repacked record, never copied raw — copying would
+    write un-blurred frames into the 'desensitized' record."""
+    rec = str(tmp_path / "t.record")
+    topics = CAMERA_TOPICS[:2]
+    _write_record(rec, hevc_packets, topics)
+    out = read_record2h265_all(rec, str(tmp_path))
+    processed = tmp_path / "processed"
+    processed.mkdir()
+    # Only camera 0 gets a processed video; camera 1's pipeline "failed".
+    path = out[topics[0]]
+    base = os.path.basename(path).replace(".h265", "_processed.h265")
+    (processed / base).write_bytes(open(path, "rb").read())
+
+    final = write_allH265_record_all(rec, str(processed), str(tmp_path / "o"))
+    r = RecordReader(final)
+    assert len(list(r.read_messages(topics[0]))) == len(hevc_packets)
+    assert list(r.read_messages(topics[1])) == []  # raw frames NOT copied
+    # non-camera channel still passes through
+    assert len(list(r.read_messages("/misc/chatter"))) == 10
+    assert any("NO desensitized video matched" in m for m in caplog.messages)
+
+
 def _varied_frames(n, h=96, w=160):
     """Moving-gradient frames: enough temporal structure for x265 at preset
     medium to emit B-frames (flat gray fixtures never trigger reordering)."""

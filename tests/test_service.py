@@ -86,14 +86,70 @@ def test_group_inbox_segments_and_videos():
             "cam.mp4",
             "notes.txt",
             ".hidden.mp4",
+            ".claim.b.record.lock",
+            "c.record.1",  # unpadded segment index (unpack accepts these too)
+            "c.record.0",
         ],
         FORMATS,
     )
     by_name = {j.name: j for j in jobs}
-    assert set(by_name) == {"a.record", "b.record", "cam.mp4"}
+    assert set(by_name) == {"a.record", "b.record", "c.record", "cam.mp4"}
     assert by_name["b.record"].members == ["b.record.00000", "b.record.00001"]
+    assert by_name["c.record"].members == ["c.record.0", "c.record.1"]
     assert by_name["a.record"].kind == "record"
     assert by_name["cam.mp4"].kind == "video"
+
+
+def test_segment_set_claim_is_serialized_by_lock(tmp_path, engine):
+    """A held set lock must make claim() back off (another worker is mid-way
+    through renaming the set's members); stale locks are broken."""
+    svc = _service(tmp_path, engine)
+    inbox = tmp_path / "inbox"
+    (inbox / "x.record.00000").write_bytes(b"a")
+    (inbox / "x.record.00001").write_bytes(b"b")
+    jobs = svc.scan()
+    assert len(jobs) == 1 and jobs[0].members == [
+        "x.record.00000", "x.record.00001",
+    ]
+    lock = inbox / ".claim.x.record.lock"
+    lock.write_text("other-host:1\n")
+    assert svc.claim(jobs[0]) is None  # fresh lock held elsewhere -> back off
+    assert (inbox / "x.record.00000").exists()  # nothing moved
+    old = time.time() - 120
+    os.utime(lock, (old, old))
+    assert svc.claim(jobs[0]) is None  # stale lock broken this scan...
+    assert not lock.exists()
+    d = svc.claim(jobs[0])  # ...and the claim succeeds on the next
+    assert d is not None
+    assert not lock.exists()  # released after the claim
+    assert sorted(os.listdir(os.path.join(d, "in"))) == [
+        "x.record.00000", "x.record.00001",
+    ]
+
+
+def test_segment_set_membership_must_stabilize(tmp_path, engine):
+    """A segment landing AFTER the first members must reset the set's
+    claimability — else x.record.00000 is claimed alone mid-upload."""
+    svc = DesensitizationService(
+        ServiceConfig(
+            inbox_dir=str(tmp_path / "inbox"),
+            output_dir=str(tmp_path / "out"),
+            stable_polls=1,
+            poll_interval_s=0.0,
+        ),
+        _pcfg(tmp_path),
+        engine,
+    )
+    inbox = tmp_path / "inbox"
+    (inbox / "x.record.00000").write_bytes(b"a")
+    assert svc.scan() == []  # file not yet stable
+    assert svc.scan() == []  # file stable, membership history just started
+    assert len(svc.scan()) == 1  # both gates satisfied
+    (inbox / "x.record.00001").write_bytes(b"b")  # late segment arrives
+    assert svc.scan() == []  # new member not yet stable
+    assert svc.scan() == []  # membership changed: history restarted
+    assert len(svc.scan()) == 1  # both gates re-satisfied
+    assert svc.scan()[0].members == ["x.record.00000", "x.record.00001"]
 
 
 def test_load_service_config(tmp_path):

@@ -187,6 +187,28 @@ def test_retinaface_label_parser(tmp_path):
     np.testing.assert_array_equal(b[0, :4], [1, 2, 4, 6])
 
 
+def test_letterbox_annotations_preserves_edge_boxes_and_sentinels():
+    """Boxes of partially-out-of-frame faces (negative x1/y1 in WIDER) must
+    be clipped into the frame — NOT clobbered to the landmark sentinel —
+    while unannotated landmarks keep their -1."""
+    from video_desensitization_tpu.train.data import _letterbox_annotations
+
+    ann = np.array(
+        [[-5.0, 10.0, 25.0, 50.0] + [-1.0] * 10],  # edge face, no landmarks
+        np.float64,
+    )
+    out = _letterbox_annotations(ann, src_hw=(100, 100), dst_hw=(200, 200))
+    # x1 clipped to 0 then letterboxed: must be a valid in-canvas coord.
+    assert 0.0 <= out[0, 0] < out[0, 2] <= 1.0
+    assert 0.0 <= out[0, 1] < out[0, 3] <= 1.0
+    assert (out[0, 4:] == -1.0).all()  # sentinel untouched
+    # Annotated landmarks transform normally alongside a clipped box.
+    ann2 = np.array([[-5.0, 10.0, 25.0, 50.0, 3.0, 12.0] + [-1.0] * 8])
+    out2 = _letterbox_annotations(ann2, (100, 100), (200, 200))
+    assert 0.0 <= out2[0, 4] <= 1.0 and 0.0 <= out2[0, 5] <= 1.0
+    assert (out2[0, 6:] == -1.0).all()
+
+
 def test_batch_iterator_and_overfit_one_batch(tmp_path):
     """End-to-end training smoke: encode a labeled synthetic set through the
     data pipeline and overfit one batch — the loss must drop hard."""

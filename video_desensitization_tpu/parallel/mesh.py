@@ -96,7 +96,10 @@ def distributed_init(
             process_id=process_id,
         )
     except RuntimeError as e:  # already initialized — idempotent entry point
-        if "already" not in str(e).lower():
+        # jax 0.9 raises "distributed.initialize should only be called once.";
+        # older/newer versions phrase it with "already initialized".
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 

@@ -41,7 +41,10 @@ from typing import Dict, List, Optional, Tuple
 from video_desensitization_tpu.api.config import PipelineConfig
 from video_desensitization_tpu.utils.logging import get_logger
 
-_SEGMENT_RE = re.compile(r"^(?P<base>.+\.record)\.(?P<seg>\d{5,})$")
+# Any numeric suffix counts as a segment — aligned with the record layer's
+# segment parsing (record.unpack._segment_sort_key accepts unpadded indexes
+# like x.record.2 as well as Apollo's zero-padded x.record.00002).
+_SEGMENT_RE = re.compile(r"^(?P<base>.+\.record)\.(?P<seg>\d+)$")
 
 JOURNAL_NAME = "service_journal.jsonl"
 
@@ -149,6 +152,7 @@ class DesensitizationService:
         self.engine = engine
         self.log = get_logger("service")
         self._stat_history: Dict[str, Tuple[int, float, int, float]] = {}
+        self._set_history: Dict[str, Tuple[Tuple[str, ...], int, float]] = {}
         self._seq = 0
         self._lock = threading.Lock()
         self.status = {
@@ -210,6 +214,27 @@ class DesensitizationService:
             self._stat_history[path] = (size, mtime, count, now)
         return count >= self.cfg.stable_polls
 
+    def _set_stable(self, job: Job) -> bool:
+        """For record jobs, the MEMBERSHIP itself must also be stable: a
+        segment set is only claimable once no new segment has appeared for
+        ``stable_polls`` spaced polls — an uploader mid-way through writing
+        ``x.record.00001`` must not have ``x.record.00000`` claimed alone
+        (which is why this gate applies even to a currently-single-member
+        set: more segments may still be coming)."""
+        if job.kind != "record":
+            return True
+        now = time.monotonic()
+        sig = tuple(job.members)
+        prev = self._set_history.get(job.name)
+        if prev is None or prev[0] != sig:
+            self._set_history[job.name] = (sig, 0, now)
+            return 0 >= self.cfg.stable_polls
+        _, count, last_ts = prev
+        if now - last_ts >= 0.5 * self.cfg.poll_interval_s:
+            count += 1
+            self._set_history[job.name] = (sig, count, now)
+        return count >= self.cfg.stable_polls
+
     def scan(self) -> List[Job]:
         try:
             names = os.listdir(self.cfg.inbox_dir)
@@ -220,15 +245,42 @@ class DesensitizationService:
         live = {os.path.join(self.cfg.inbox_dir, n) for j in jobs for n in j.members}
         for stale in [p for p in self._stat_history if p not in live]:
             del self._stat_history[stale]
+        for stale in [n for n in self._set_history if n not in {j.name for j in jobs}]:
+            del self._set_history[stale]
         return [
             j
             for j in jobs
             if all(
                 self._stable(os.path.join(self.cfg.inbox_dir, n)) for n in j.members
             )
+            and self._set_stable(j)
         ]
 
     # -- claiming ----------------------------------------------------------
+
+    def _acquire_set_lock(self, job: Job) -> Optional[str]:
+        """Exclusive inbox-level lock for multi-member (segment-set) claims.
+
+        Renaming members one by one is atomic per file but not per SET:
+        another worker's scan could land between two renames, see only the
+        not-yet-moved segments, and claim them as a separate job. An
+        O_CREAT|O_EXCL lock file serializes set claims; stale locks (from a
+        worker that died mid-claim) are broken after 60 s and the next
+        startup's recover_orphans re-queues the partial claim.
+        """
+        lock_path = os.path.join(self.cfg.inbox_dir, f".claim.{job.name}.lock")
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock_path).st_mtime > 60.0:
+                    os.unlink(lock_path)  # stale; next scan retries
+            except OSError:
+                pass
+            return None
+        with os.fdopen(fd, "w") as f:
+            f.write(f"{os.uname().nodename}:{os.getpid()}\n")
+        return lock_path
 
     def claim(self, job: Job) -> Optional[str]:
         """Atomically claim a job; returns its private work dir or None if
@@ -237,7 +289,12 @@ class DesensitizationService:
         job_dir = os.path.join(
             self.cfg.work_dir, f"{job.name}.{os.getpid()}.{self._seq}"
         )
+        lock_path = None
         try:
+            if len(job.members) > 1:
+                lock_path = self._acquire_set_lock(job)
+                if lock_path is None:
+                    return None
             os.makedirs(os.path.join(job_dir, "in"), exist_ok=True)
             lock_member = job.members[0]
             try:
@@ -249,7 +306,7 @@ class DesensitizationService:
                 shutil.rmtree(job_dir, ignore_errors=True)
                 return None
             # We own the job now: every other worker lost the rename race on
-            # the first member and never touches the rest.
+            # the first member (single files) or the set lock (segment sets).
             for n in job.members[1:]:
                 try:
                     os.rename(
@@ -275,6 +332,12 @@ class DesensitizationService:
             self.log.error("claim of %s failed: %s", job.name, e)
             shutil.rmtree(job_dir, ignore_errors=True)
             return None
+        finally:
+            if lock_path is not None:
+                try:
+                    os.unlink(lock_path)
+                except OSError:
+                    pass
         return job_dir
 
     def _owner_alive(self, job_dir: str) -> bool:

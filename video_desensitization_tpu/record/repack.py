@@ -112,6 +112,8 @@ def write_allH265_record_all(
         topic_packets[topic] = pkts
 
     out_path = None
+    topics_set = set(topics)
+    skipped_camera: Dict[str, int] = {}  # camera topics with no processed video
     dropped = {t: 0 for t in topic_packets}  # original frames left unpaired
     prekey = {t: 0 for t in topic_packets}  # leading pre-keyframe frames
     msg_totals = {t: 0 for t in topic_packets}
@@ -161,11 +163,14 @@ def write_allH265_record_all(
                     # the tail rather than leak raw frames.
                     dropped[topic] += 1
                     continue
-                writer.write_message(
-                    topic,
-                    msg if isinstance(msg, (bytes, bytearray)) else msg,
-                    t,
-                )
+                if topic in topics_set:
+                    # A camera topic with NO desensitized stream (its video
+                    # failed to process, or was never extracted). Copying the
+                    # original payloads would write raw, un-blurred frames
+                    # into the "desensitized" record — drop them instead.
+                    skipped_camera[topic] = skipped_camera.get(topic, 0) + 1
+                    continue
+                writer.write_message(topic, msg, t)
         log.info(
             "All topic images data had changed: %s",
             sorted(cursor.keys()),
@@ -174,6 +179,14 @@ def write_allH265_record_all(
             "The video has been successfully written, and the path has been "
             "added to: %s",
             out_path,
+        )
+    for topic, n_skip in skipped_camera.items():
+        log.error(
+            "topic %s: NO desensitized video matched — dropped all %d raw "
+            "frames from the output record (raw camera frames are never "
+            "copied through)",
+            topic,
+            n_skip,
         )
     for topic, n_pre in prekey.items():
         if n_pre:

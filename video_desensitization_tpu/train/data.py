@@ -95,12 +95,17 @@ def _letterbox_annotations(
     nh, nw, top, left = letterbox_params((ih, iw), (h, w))
     sx, sy = nw / iw, nh / ih
     out = ann.astype(np.float64).copy()
+    # Box corners of partially-out-of-frame faces can be legitimately
+    # negative (or beyond the image) — that is geometry, not a sentinel:
+    # clip them into the frame instead of corrupting them below.
+    out[:, [0, 2]] = np.clip(out[:, [0, 2]], 0, iw)
+    out[:, [1, 3]] = np.clip(out[:, [1, 3]], 0, ih)
     xs = [0, 2, 4, 6, 8, 10, 12]
     ys = [1, 3, 5, 7, 9, 11, 13]
-    neg = out < 0  # unannotated landmarks stay -1
+    neg = out[:, 4:] < 0  # unannotated landmarks stay -1 (sentinel)
     out[:, xs] = (out[:, xs] * sx + left) / w
     out[:, ys] = (out[:, ys] * sy + top) / h
-    out[neg] = -1.0
+    out[:, 4:][neg] = -1.0
     return out
 
 
