@@ -85,6 +85,25 @@ def test_cli_images_mode(tmp_path):
     assert all(f.startswith("processed_") for f in outs)
 
 
+def test_engine_auto_probes_link_and_picks(tmp_path):
+    from video_desensitization_tpu.api.config import load_config
+    from video_desensitization_tpu.cli.main import build_engine, probe_link_gbps
+
+    assert probe_link_gbps(size_mb=1, reps=1) > 0
+    ini = tmp_path / "auto.ini"
+    ini.write_text(
+        "[PATHS]\nmodel_path=random\nmodel_weights=random\n"
+        "record_dir=\noutput_h265_dir=\noutput_videos_dir=\n"
+        "temp_directory_base=\nrecord_output_dir=\n"
+        "[TPU]\nengine=auto\ninput_size=128\nmax_detections=8\ndtype=float32\n"
+    )
+    cfg = load_config(str(ini), strict=False)
+    assert cfg.engine == "auto"
+    engine = build_engine(cfg, with_plates=False)
+    assert cfg.engine in ("tiered", "fused")  # resolved by the probe
+    assert engine is not None
+
+
 def test_cli_profile_flag_writes_trace(tmp_path):
     import cv2
 

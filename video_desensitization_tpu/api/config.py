@@ -54,7 +54,8 @@ class PipelineConfig:
     output_fps: float = 60.0
     # "fused": detection + mosaic in one device program on full frames
     # (bandwidth-rich hosts); "tiered": host letterbox + boxes-only readback +
-    # host mosaic (link-constrained hosts). See pipeline/throughput.py.
+    # host mosaic (link-constrained hosts); "auto": probe the host->device
+    # link at startup and pick. See pipeline/throughput.py.
     engine: str = "tiered"
     resume: bool = True  # skip already-completed videos via output manifest
     # Tiered-pipeline host->device format: "rgb" or "yuv420" (half the
@@ -106,8 +107,10 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
         cfg.resume = t.getboolean("resume", cfg.resume)
         cfg.transfer = t.get("transfer", cfg.transfer)
         cfg.co_batch = t.getboolean("co_batch", cfg.co_batch)
-    if cfg.engine not in ("tiered", "fused"):
-        raise ValueError(f"[TPU] engine must be 'tiered' or 'fused', got {cfg.engine!r}")
+    if cfg.engine not in ("tiered", "fused", "auto"):
+        raise ValueError(
+            f"[TPU] engine must be 'tiered', 'fused', or 'auto', got {cfg.engine!r}"
+        )
     if cfg.transfer not in ("rgb", "yuv420"):
         raise ValueError(f"[TPU] transfer must be 'rgb' or 'yuv420', got {cfg.transfer!r}")
     return cfg

@@ -52,12 +52,41 @@ def _resolve_checkpoint(path, allow_random: bool, what: str):
     return None
 
 
+def probe_link_gbps(size_mb: int = 32, reps: int = 2) -> float:
+    """Measure host->device bandwidth (GB/s) with a short device_put burst."""
+    import numpy as np
+
+    buf = np.zeros((size_mb << 20,), np.uint8)
+    x = jax.device_put(buf)
+    np.asarray(x[:1])  # warm + sync (block_until_ready unreliable on axon)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = jax.device_put(buf)
+        np.asarray(x[:1])
+        best = max(best, size_mb / 1024.0 / (time.perf_counter() - t0))
+    return best
+
+
 def build_engine(cfg, with_plates: bool = True, allow_random: bool = False):
     from video_desensitization_tpu.detect.face import Retinaface
     from video_desensitization_tpu.detect.plate import PlateDetector
     from video_desensitization_tpu.parallel.mesh import make_mesh
     from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
     from video_desensitization_tpu.pipeline.throughput import TieredPipeline
+    from video_desensitization_tpu.utils.logging import get_logger
+
+    if cfg.engine == "auto":
+        # The fused engine moves raw 1080p frames both ways (~12.4 MB/frame);
+        # at the chip's ~830 fps it needs ~10 GB/s to stay fed, and at
+        # 2 GB/s it still clears ~160 fps — well above the tiered path's
+        # host-letterbox ceiling on typical hosts. Below that, the link is
+        # the bottleneck and the tiered path's ~0.35 MB/frame wins.
+        gbps = probe_link_gbps()
+        cfg.engine = "fused" if gbps >= 2.0 else "tiered"
+        get_logger("cli").info(
+            "engine=auto: link probe %.2f GB/s -> %s", gbps, cfg.engine
+        )
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
     mesh = None
