@@ -188,7 +188,7 @@ def test_full_repack_roundtrip(tmp_path, hevc_packets):
 
 
 @needs_native
-def test_repack_never_leaks_unmatched_camera_topics(tmp_path, hevc_packets, caplog):
+def test_repack_never_leaks_unmatched_camera_topics(tmp_path, hevc_packets):
     """A camera topic whose video failed to process (no matched output) must
     be DROPPED from the repacked record, never copied raw — copying would
     write un-blurred frames into the 'desensitized' record."""
@@ -203,13 +203,25 @@ def test_repack_never_leaks_unmatched_camera_topics(tmp_path, hevc_packets, capl
     base = os.path.basename(path).replace(".h265", "_processed.h265")
     (processed / base).write_bytes(open(path, "rb").read())
 
-    final = write_allH265_record_all(rec, str(processed), str(tmp_path / "o"))
+    # caplog can't see VideoProcessor.* (propagate=False once setup_logger
+    # ran in any earlier test) — attach a handler directly.
+    import logging
+
+    messages = []
+    handler = logging.Handler()
+    handler.emit = lambda r: messages.append(r.getMessage())
+    log = logging.getLogger("VideoProcessor.recordDeal")
+    log.addHandler(handler)
+    try:
+        final = write_allH265_record_all(rec, str(processed), str(tmp_path / "o"))
+    finally:
+        log.removeHandler(handler)
     r = RecordReader(final)
     assert len(list(r.read_messages(topics[0]))) == len(hevc_packets)
     assert list(r.read_messages(topics[1])) == []  # raw frames NOT copied
     # non-camera channel still passes through
     assert len(list(r.read_messages("/misc/chatter"))) == 10
-    assert any("NO desensitized video matched" in m for m in caplog.messages)
+    assert any("NO desensitized video matched" in m for m in messages)
 
 
 def _varied_frames(n, h=96, w=160):

@@ -16,6 +16,7 @@ from video_desensitization_tpu.ops.image import (
 )
 from video_desensitization_tpu.ops.mosaic import (
     mosaic_boxes_batch,
+    mosaic_host_inplace,
     mosaic_host_reference,
     build_mosaic_maps,
     gaussian_blur_boxes,
@@ -35,6 +36,7 @@ __all__ = [
     "letterbox_params",
     "preprocess_input",
     "mosaic_boxes_batch",
+    "mosaic_host_inplace",
     "mosaic_host_reference",
     "build_mosaic_maps",
     "gaussian_blur_boxes",

@@ -152,16 +152,17 @@ def mosaic_boxes_batch(
     return jax.vmap(per_image)(frames, boxes, valid)
 
 
-def mosaic_host_reference(
+def mosaic_host_inplace(
     img: np.ndarray, boxes, level: int = DEFAULT_MOSAIC_LEVEL
 ) -> np.ndarray:
-    """Sequential cv2 mosaic, bit-identical to the reference CPU kernel.
+    """Mutate ``img`` with the reference cv2 mosaic (no defensive copy).
 
-    Used as the golden oracle in tests and as the host fallback path.
+    The hot pipelines own their frame buffers, and a 1080p frame copy costs
+    as much as the mosaic itself — callers that need the input preserved use
+    ``mosaic_host_reference``.
     """
     import cv2
 
-    img = img.copy()
     h, w = img.shape[:2]
     for x1, y1, x2, y2 in boxes:
         x1, y1 = max(0, int(x1)), max(0, int(y1))
@@ -175,6 +176,16 @@ def mosaic_host_reference(
         mosaic = cv2.resize(small, (x2 - x1, y2 - y1), interpolation=cv2.INTER_NEAREST)
         img[y1:y2, x1:x2] = mosaic
     return img
+
+
+def mosaic_host_reference(
+    img: np.ndarray, boxes, level: int = DEFAULT_MOSAIC_LEVEL
+) -> np.ndarray:
+    """Sequential cv2 mosaic, bit-identical to the reference CPU kernel.
+
+    Used as the golden oracle in tests and as the host fallback path.
+    """
+    return mosaic_host_inplace(img.copy(), boxes, level)
 
 
 def gaussian_blur_boxes(

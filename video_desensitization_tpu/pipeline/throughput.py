@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from video_desensitization_tpu.detect.face import Retinaface
 from video_desensitization_tpu.detect.plate import PlateDetector
-from video_desensitization_tpu.ops.mosaic import mosaic_host_reference
+from video_desensitization_tpu.ops.mosaic import mosaic_host_inplace
 
 
 @dataclasses.dataclass
@@ -264,16 +264,16 @@ class TieredPipeline:
             plate_boxes.append(pb.tolist())
             merged_all.append(np.concatenate([fb, pb], axis=0).astype(np.int64).tolist())
         # Frames are independent; cv2 releases the GIL, so mosaic in parallel.
-        out = np.stack(
-            list(
-                self._pool.map(
-                    lambda args: mosaic_host_reference(
-                        args[0], args[1], self.mosaic_level
-                    ),
-                    zip(frames, merged_all),
-                )
-            )
-        )
+        # One copy per frame into a preallocated output, then in-place box
+        # work: the previous copy-then-np.stack pattern paid TWO full-frame
+        # memcpys per 1080p frame — as expensive as the mosaic itself
+        # (stage_breakdown.py measured the host mosaic stage at 370 ms/batch
+        # of a ~900 ms cycle).
+        out = np.empty_like(frames)
+        def _one(i):
+            np.copyto(out[i], frames[i])
+            mosaic_host_inplace(out[i], merged_all[i], self.mosaic_level)
+        list(self._pool.map(_one, range(b)))
         return TieredResult(
             frames=out,
             face_boxes=face_boxes,
