@@ -85,6 +85,20 @@ def test_cli_images_mode(tmp_path):
     assert all(f.startswith("processed_") for f in outs)
 
 
+def test_doctor_report(capsys):
+    import json
+
+    from video_desensitization_tpu.cli.doctor import main as doctor_main
+
+    rc = doctor_main(["--link"])
+    report = json.loads(capsys.readouterr().out)
+    assert rc == 0 and report["ok"]
+    assert report["n_devices"] >= 1
+    assert report["native_av"] in (True, False)
+    assert "link_h2d_gbps" in report
+    assert report["recommended_engine"] in ("tiered", "fused")
+
+
 def test_engine_auto_probes_link_and_picks(tmp_path):
     from video_desensitization_tpu.api.config import load_config
     from video_desensitization_tpu.cli.main import build_engine, probe_link_gbps

@@ -102,14 +102,27 @@ def write_allH265_record_all(
 
     matches = match_topics_and_hevcs(output_videos_dir)
     topic_packets: Dict[str, List] = {}
-    for topic, video_path in matches.items():
-        pkts = _reencode_to_hevc_packets(video_path, log)
-        if not pkts:
-            log.error(
-                "The record does not contain any data for topic: %s", topic
-            )
-            continue
-        topic_packets[topic] = pkts
+    if matches:
+        # Re-encode cameras concurrently: HEVC preset-medium encode is the
+        # record job's tail, each camera is independent, and the native
+        # encoder releases the GIL (mirrors the reference's per-topic
+        # ThreadPoolExecutor fan-out, SURVEY §3.4).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(matches))) as ex:
+            futures = {
+                topic: ex.submit(_reencode_to_hevc_packets, path, log)
+                for topic, path in matches.items()
+            }
+            for topic, fut in futures.items():
+                pkts = fut.result()
+                if not pkts:
+                    log.error(
+                        "The record does not contain any data for topic: %s",
+                        topic,
+                    )
+                    continue
+                topic_packets[topic] = pkts
 
     out_path = None
     topics_set = set(topics)
