@@ -11,7 +11,9 @@ host mosaic, with double-buffered batches so transfer overlaps compute.
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
      "median_fps": N, "windows": [...], "device_fps": N, "mfu": N,
-     "flops_per_frame": N, "fused_fps": N}
+     "flops_per_frame": N, "fused_fps": N, "link_h2d_mbps": N}
+
+(`benchmarks/stage_breakdown.py` decomposes one e2e cycle per stage.)
 
 value stays the best-of-N e2e window (the link to this chip fluctuates
 run-to-run; the best window reflects the pipeline, not link weather), with
