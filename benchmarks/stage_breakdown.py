@@ -79,8 +79,10 @@ def main() -> None:
     def h2d():
         a = jnp.asarray(lb)
         b = jnp.asarray(aux_np)
-        np.asarray(a[:1, :1])
-        np.asarray(b[:1])
+        # ONE sync depending on both transfers — two separate fetches would
+        # serialize two link round trips and inflate h2d_ms by ~1 RTT.
+        joint = a.ravel()[:1].astype(jnp.float32) + b.ravel()[:1]
+        np.asarray(joint)
 
     h2d_ms = _best(h2d, reps)
 

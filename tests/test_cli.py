@@ -89,21 +89,29 @@ def test_doctor_report(capsys):
     import json
 
     from video_desensitization_tpu.cli.doctor import main as doctor_main
+    from video_desensitization_tpu.video.av import native_available
 
     rc = doctor_main(["--link"])
     report = json.loads(capsys.readouterr().out)
-    assert rc == 0 and report["ok"]
+    # Without the native layer the report is degraded-but-valid (rc 1).
+    assert (rc == 0) == report["ok"] == native_available()
     assert report["n_devices"] >= 1
-    assert report["native_av"] in (True, False)
-    assert "link_h2d_gbps" in report
+    assert "link_h2d_gib_s" in report
     assert report["recommended_engine"] in ("tiered", "fused")
 
 
 def test_engine_auto_probes_link_and_picks(tmp_path):
     from video_desensitization_tpu.api.config import load_config
-    from video_desensitization_tpu.cli.main import build_engine, probe_link_gbps
+    from video_desensitization_tpu.cli.main import (
+        build_engine,
+        pick_engine,
+        probe_link_gib_s,
+    )
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+    from video_desensitization_tpu.pipeline.throughput import TieredPipeline
 
-    assert probe_link_gbps(size_mb=1, reps=1) > 0
+    assert probe_link_gib_s(size_mb=1, reps=1) > 0
+    assert pick_engine(10.0) == "fused" and pick_engine(1.0) == "tiered"
     ini = tmp_path / "auto.ini"
     ini.write_text(
         "[PATHS]\nmodel_path=random\nmodel_weights=random\n"
@@ -114,8 +122,8 @@ def test_engine_auto_probes_link_and_picks(tmp_path):
     cfg = load_config(str(ini), strict=False)
     assert cfg.engine == "auto"
     engine = build_engine(cfg, with_plates=False)
-    assert cfg.engine in ("tiered", "fused")  # resolved by the probe
-    assert engine is not None
+    assert isinstance(engine, (TieredPipeline, DesensitizationEngine))
+    assert cfg.engine == "auto"  # config is NOT mutated; each build re-probes
 
 
 def test_cli_profile_flag_writes_trace(tmp_path):

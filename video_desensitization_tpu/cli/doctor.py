@@ -62,20 +62,26 @@ def collect(probe_link: bool = False) -> dict:
     report["torch_available"] = importlib.util.find_spec("torch") is not None
 
     if probe_link:
-        from video_desensitization_tpu.cli.main import probe_link_gbps
+        from video_desensitization_tpu.cli.main import pick_engine, probe_link_gib_s
 
-        gbps = probe_link_gbps()
-        report["link_h2d_gbps"] = round(gbps, 3)
-        report["recommended_engine"] = "fused" if gbps >= 2.0 else "tiered"
+        gib_s = probe_link_gib_s()
+        report["link_h2d_gib_s"] = round(gib_s, 3)  # gigaBYTES/s, not bits
+        report["recommended_engine"] = pick_engine(gib_s)
 
     return report
 
 
 def main(argv=None) -> int:
-    probe_link = argv is not None and "--link" in argv or (
-        argv is None and "--link" in sys.argv[1:]
+    import argparse
+
+    p = argparse.ArgumentParser(description="environment diagnostics")
+    p.add_argument(
+        "--link",
+        action="store_true",
+        help="also probe host->device bandwidth and recommend an engine",
     )
-    report = collect(probe_link=probe_link)
+    args = p.parse_args(argv)
+    report = collect(probe_link=args.link)
     print(json.dumps(report, indent=1))
     return 0 if report["ok"] else 1
 

@@ -52,8 +52,9 @@ def _resolve_checkpoint(path, allow_random: bool, what: str):
     return None
 
 
-def probe_link_gbps(size_mb: int = 32, reps: int = 2) -> float:
-    """Measure host->device bandwidth (GB/s) with a short device_put burst."""
+def probe_link_gib_s(size_mb: int = 32, reps: int = 2) -> float:
+    """Measure host->device bandwidth (GiB/s, i.e. gigaBYTES — not gigabits)
+    with a short device_put burst."""
     import numpy as np
 
     buf = np.zeros((size_mb << 20,), np.uint8)
@@ -68,6 +69,24 @@ def probe_link_gbps(size_mb: int = 32, reps: int = 2) -> float:
     return best
 
 
+# Backwards-compatible alias (the old name was ambiguous about bits vs bytes).
+probe_link_gbps = probe_link_gib_s
+
+# engine=auto threshold, GiB/s. The fused engine moves raw 1080p frames BOTH
+# ways (~12.4 MB/frame, ~25 MB round trip); the tiered path's host-stage
+# ceiling is ~300 fps/batch-32 on a modest host (stage_breakdown.py:
+# letterbox 56 ms + mosaic 50 ms per batch), so fused only wins once the
+# link clears ~300 fps of bidirectional raw frames ≈ 2 × 3.7 GB/s. Probing
+# measures h2d only, so require headroom: 6 GiB/s.
+AUTO_ENGINE_FUSED_GIB_S = 6.0
+
+
+def pick_engine(gib_s: float) -> str:
+    """Resolve engine=auto from a measured link bandwidth (shared by
+    build_engine and cli.doctor so the recommendation can't diverge)."""
+    return "fused" if gib_s >= AUTO_ENGINE_FUSED_GIB_S else "tiered"
+
+
 def build_engine(cfg, with_plates: bool = True, allow_random: bool = False):
     from video_desensitization_tpu.detect.face import Retinaface
     from video_desensitization_tpu.detect.plate import PlateDetector
@@ -76,16 +95,12 @@ def build_engine(cfg, with_plates: bool = True, allow_random: bool = False):
     from video_desensitization_tpu.pipeline.throughput import TieredPipeline
     from video_desensitization_tpu.utils.logging import get_logger
 
-    if cfg.engine == "auto":
-        # The fused engine moves raw 1080p frames both ways (~12.4 MB/frame);
-        # at the chip's ~830 fps it needs ~10 GB/s to stay fed, and at
-        # 2 GB/s it still clears ~160 fps — well above the tiered path's
-        # host-letterbox ceiling on typical hosts. Below that, the link is
-        # the bottleneck and the tiered path's ~0.35 MB/frame wins.
-        gbps = probe_link_gbps()
-        cfg.engine = "fused" if gbps >= 2.0 else "tiered"
+    engine_mode = cfg.engine
+    if engine_mode == "auto":
+        gib_s = probe_link_gib_s()
+        engine_mode = pick_engine(gib_s)
         get_logger("cli").info(
-            "engine=auto: link probe %.2f GB/s -> %s", gbps, cfg.engine
+            "engine=auto: link probe %.2f GiB/s -> %s", gib_s, engine_mode
         )
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
@@ -115,10 +130,8 @@ def build_engine(cfg, with_plates: bool = True, allow_random: bool = False):
             input_shape=(cfg.input_size, cfg.input_size),
             dtype=dtype,
         )
-    if cfg.engine == "tiered":
+    if engine_mode == "tiered":
         if mesh is not None:
-            from video_desensitization_tpu.utils.logging import get_logger
-
             get_logger("cli").warning(
                 "engine=tiered runs single-chip; mesh_data=%s is ignored "
                 "(use engine=fused for multi-chip batch sharding)",

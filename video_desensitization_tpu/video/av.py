@@ -12,6 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -21,9 +22,21 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libvdt_av.so")
 
 _lib = None
 _load_error: Optional[str] = None
+_load_lock = threading.Lock()
 
 
 def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    # Serialize first load: concurrent callers (e.g. repack's per-camera
+    # thread pool on a fresh checkout) must not run `make` on the same .so
+    # simultaneously — a truncated library would poison _load_error forever.
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     global _lib, _load_error
     if _lib is not None or _load_error is not None:
         return _lib
