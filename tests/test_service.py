@@ -334,6 +334,35 @@ def test_http_status_endpoint(tmp_path, engine):
         svc.shutdown()
 
 
+def test_complete_marker_bypasses_stability_gates(tmp_path, engine):
+    """An uploader-written <name>.complete marker makes completeness exact:
+    claimable on the first scan despite strict stability settings, and the
+    marker is consumed with the claim."""
+    svc = DesensitizationService(
+        ServiceConfig(
+            inbox_dir=str(tmp_path / "inbox"),
+            output_dir=str(tmp_path / "out"),
+            stable_polls=3,
+            poll_interval_s=60.0,
+        ),
+        _pcfg(tmp_path),
+        engine,
+    )
+    inbox = tmp_path / "inbox"
+    (inbox / "x.record.00000").write_bytes(b"a")
+    (inbox / "x.record.00001").write_bytes(b"b")
+    assert svc.scan() == []  # no marker: stability gates apply
+    (inbox / "x.record.complete").write_bytes(b"")
+    jobs = svc.scan()
+    assert len(jobs) == 1 and jobs[0].complete
+    d = svc.claim(jobs[0])
+    assert d is not None
+    assert not (inbox / "x.record.complete").exists()  # consumed
+    assert sorted(os.listdir(os.path.join(d, "in"))) == [
+        "x.record.00000", "x.record.00001",
+    ]
+
+
 def test_stability_gate_defers_growing_files(tmp_path, engine):
     svc = DesensitizationService(
         ServiceConfig(

@@ -17,7 +17,10 @@ file the one-shot CLI uses, cli/main.py) plus an optional [SERVICE] section:
 Drop `.record` files (or `.record.0000N` segment sets, or plain videos) into
 the inbox; outputs land under output_dir, finished inputs move to
 `<inbox>/.done` (`.failed` + error.txt on error), and every job appends one
-JSON line to `<output_dir>/service_journal.jsonl`. Multiple daemons (one per
+JSON line to `<output_dir>/service_journal.jsonl`. Uploads are claimed once
+their size/membership is stable across polls; uploaders that can signal
+completeness exactly should write a `<name>.complete` marker file LAST —
+the job is then claimed on the next scan, no heuristics. Multiple daemons (one per
 TPU host) may share one inbox — claims are atomic renames. SIGTERM/SIGINT
 drain gracefully: the in-flight job finishes, then the daemon exits 0.
 

@@ -110,6 +110,7 @@ class Job:
     name: str  # display/job-dir name, e.g. "drive01.record" or "cam.mp4"
     kind: str  # "record" | "video"
     members: List[str]  # file names inside the inbox, sorted; [0] is the lock
+    complete: bool = False  # "<name>.complete" marker present in the inbox
 
 
 def group_inbox(names: List[str], video_formats: List[str]) -> List[Job]:
@@ -118,11 +119,17 @@ def group_inbox(names: List[str], video_formats: List[str]) -> List[Job]:
     ``a.record`` → one record job; ``a.record.00000`` + ``a.record.00001`` →
     one record job with both segments; ``cam.mp4`` → one video job. Unknown
     extensions are ignored (they stay in the inbox untouched).
+
+    A ``<name>.complete`` marker file (written by the uploader LAST) makes
+    the upload-completeness signal exact: the job bypasses the
+    stability-window heuristics and is claimable on the next scan. The
+    marker is consumed with the claim.
     """
     segments: Dict[str, List[str]] = {}
     jobs: List[Job] = []
+    markers = {n[: -len(".complete")] for n in names if n.endswith(".complete")}
     for n in sorted(names):
-        if n.startswith("."):
+        if n.startswith(".") or n.endswith(".complete"):
             continue
         m = _SEGMENT_RE.match(n)
         if m:
@@ -132,9 +139,18 @@ def group_inbox(names: List[str], video_formats: List[str]) -> List[Job]:
         else:
             ext = os.path.splitext(n)[1].lower().lstrip(".")
             if ext in video_formats:
-                jobs.append(Job(name=n, kind="video", members=[n]))
+                jobs.append(
+                    Job(name=n, kind="video", members=[n], complete=n in markers)
+                )
     for base, members in sorted(segments.items()):
-        jobs.append(Job(name=base, kind="record", members=sorted(members)))
+        jobs.append(
+            Job(
+                name=base,
+                kind="record",
+                members=sorted(members),
+                complete=base in markers,
+            )
+        )
     return jobs
 
 
@@ -250,10 +266,14 @@ class DesensitizationService:
         return [
             j
             for j in jobs
-            if all(
-                self._stable(os.path.join(self.cfg.inbox_dir, n)) for n in j.members
+            if j.complete  # explicit uploader marker: claim now
+            or (
+                all(
+                    self._stable(os.path.join(self.cfg.inbox_dir, n))
+                    for n in j.members
+                )
+                and self._set_stable(j)
             )
-            and self._set_stable(j)
         ]
 
     # -- claiming ----------------------------------------------------------
@@ -338,6 +358,11 @@ class DesensitizationService:
                     os.unlink(lock_path)
                 except OSError:
                     pass
+        if job.complete:  # consume the uploader's marker with the claim
+            try:
+                os.unlink(os.path.join(self.cfg.inbox_dir, f"{job.name}.complete"))
+            except OSError:
+                pass
         return job_dir
 
     def _owner_alive(self, job_dir: str) -> bool:
