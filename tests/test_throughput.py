@@ -76,6 +76,27 @@ def test_plate_letterboxed_matches_native_on_square(plate):
     np.testing.assert_allclose(dets_a[keep_a], dets_b[keep_b], rtol=1e-4, atol=1e-3)
 
 
+def test_tiered_gaussian_anonymizer(face):
+    """anonymizer='gaussian' must blur inside detected boxes and leave the
+    rest of the frame untouched (the tiered analog of the fused engine's
+    gaussian option)."""
+    from video_desensitization_tpu.pipeline.throughput import TieredPipeline
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (2, 96, 160, 3), dtype=np.uint8)
+    pg = TieredPipeline(face, None, anonymizer="gaussian")
+    res = pg.process_batch(frames)
+    for i in range(2):
+        mask = np.zeros((96, 160), bool)
+        for x1, y1, x2, y2 in (
+            np.asarray(res.face_boxes[i]).astype(int).reshape(-1, 4)
+        ):
+            mask[max(0, y1):y2, max(0, x1):x2] = True
+        np.testing.assert_array_equal(res.frames[i][~mask], frames[i][~mask])
+        if mask.any():
+            assert not np.array_equal(res.frames[i][mask], frames[i][mask])
+
+
 def test_stream_equals_batch(pipe):
     rng = np.random.default_rng(0)
     batches = [

@@ -65,6 +65,8 @@ class PipelineConfig:
     # Co-batch frames from all camera streams into shared device batches
     # (pipeline/multicam.py) instead of processing streams sequentially.
     co_batch: bool = False
+    # "mosaic" (reference pixelation, bit-exact) or "gaussian" (softer blur).
+    anonymizer: str = "mosaic"
 
 
 def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig:
@@ -107,10 +109,15 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
         cfg.resume = t.getboolean("resume", cfg.resume)
         cfg.transfer = t.get("transfer", cfg.transfer)
         cfg.co_batch = t.getboolean("co_batch", cfg.co_batch)
+        cfg.anonymizer = t.get("anonymizer", cfg.anonymizer)
     if cfg.engine not in ("tiered", "fused", "auto"):
         raise ValueError(
             f"[TPU] engine must be 'tiered', 'fused', or 'auto', got {cfg.engine!r}"
         )
     if cfg.transfer not in ("rgb", "yuv420"):
         raise ValueError(f"[TPU] transfer must be 'rgb' or 'yuv420', got {cfg.transfer!r}")
+    if cfg.anonymizer not in ("mosaic", "gaussian"):
+        raise ValueError(
+            f"[TPU] anonymizer must be 'mosaic' or 'gaussian', got {cfg.anonymizer!r}"
+        )
     return cfg

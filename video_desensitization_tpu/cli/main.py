@@ -138,10 +138,18 @@ def build_engine(cfg, with_plates: bool = True, allow_random: bool = False):
                 cfg.mesh_data,
             )
         return TieredPipeline(
-            face, plate, mosaic_level=cfg.mosaic_level, transfer=cfg.transfer
+            face,
+            plate,
+            mosaic_level=cfg.mosaic_level,
+            transfer=cfg.transfer,
+            anonymizer=cfg.anonymizer,
         )
     return DesensitizationEngine(
-        face, plate, mosaic_level=cfg.mosaic_level, mesh=mesh
+        face,
+        plate,
+        mosaic_level=cfg.mosaic_level,
+        mesh=mesh,
+        anonymizer=cfg.anonymizer,
     )
 
 

@@ -188,6 +188,27 @@ def mosaic_host_reference(
     return mosaic_host_inplace(img.copy(), boxes, level)
 
 
+def gaussian_blur_host_inplace(
+    img: np.ndarray, boxes, sigma: float = 6.0, kernel_radius: int = 12
+) -> np.ndarray:
+    """Host analog of ``gaussian_blur_boxes`` (the softer anonymizer): blur
+    each clipped box ROI in place with cv2. Same sigma/radius defaults as
+    the device kernel; boundary handling differs at ROI edges (cv2 reflects
+    within the ROI, the device kernel blurs across it) — the anonymizers are
+    alternatives, not bitwise twins."""
+    import cv2
+
+    k = 2 * kernel_radius + 1
+    h, w = img.shape[:2]
+    for x1, y1, x2, y2 in boxes:
+        x1, y1 = max(0, int(x1)), max(0, int(y1))
+        x2, y2 = min(w, int(x2)), min(h, int(y2))
+        if x2 <= x1 or y2 <= y1:
+            continue
+        img[y1:y2, x1:x2] = cv2.GaussianBlur(img[y1:y2, x1:x2], (k, k), sigma)
+    return img
+
+
 def gaussian_blur_boxes(
     frames: Array,
     boxes: Array,

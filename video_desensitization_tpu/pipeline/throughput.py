@@ -122,15 +122,20 @@ class TieredPipeline:
         mosaic_level: int = 8,
         letterbox_workers: int = 6,
         transfer: str = "rgb",
+        anonymizer: str = "mosaic",
     ):
         """transfer: "rgb" sends (nh, nw, 3) letterbox content; "yuv420"
         sends planar I420 (nh*3/2, nw) — half the bytes over the link. The
         source streams are H.265 YUV 4:2:0, so re-subsampling chroma loses
         nothing the codec stored; the device converts back with BT.601.
-        yuv420 requires even content dims (true for 16:9/4:3 at 640)."""
+        yuv420 requires even content dims (true for 16:9/4:3 at 640).
+
+        anonymizer: "mosaic" (reference pixelation, bit-exact) or
+        "gaussian" (softer cv2 blur — same option the fused engine offers)."""
         self.face = face_detector
         self.plate = plate_detector
         self.mosaic_level = mosaic_level
+        self.anonymizer = anonymizer
         self.input_hw = face_detector.input_hw
         self.transfer = transfer
         self._pool = ThreadPoolExecutor(max_workers=letterbox_workers)
@@ -269,10 +274,18 @@ class TieredPipeline:
         # memcpys per 1080p frame — as expensive as the mosaic itself
         # (stage_breakdown.py measured the host mosaic stage at 370 ms/batch
         # of a ~900 ms cycle).
+        if self.anonymizer == "gaussian":
+            from video_desensitization_tpu.ops.mosaic import (
+                gaussian_blur_host_inplace,
+            )
+
+            blur = lambda im, bx: gaussian_blur_host_inplace(im, bx)
+        else:
+            blur = lambda im, bx: mosaic_host_inplace(im, bx, self.mosaic_level)
         out = np.empty_like(frames)
         def _one(i):
             np.copyto(out[i], frames[i])
-            mosaic_host_inplace(out[i], merged_all[i], self.mosaic_level)
+            blur(out[i], merged_all[i])
         list(self._pool.map(_one, range(b)))
         return TieredResult(
             frames=out,
