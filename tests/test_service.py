@@ -402,6 +402,64 @@ def test_stability_gate_requires_poll_spacing(tmp_path, engine):
         assert svc.scan() == []
 
 
+@needs_native
+def test_two_workers_share_one_inbox(tmp_path, engine):
+    """Two daemons polling the same inbox concurrently: every job is
+    processed exactly once (claims are atomic renames), no job is lost,
+    and the workers' combined journals account for all inputs."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    n_jobs = 4
+    for i in range(n_jobs):
+        _write_video(inbox / f"cam{i}.mp4", frames=4)
+
+    services = [
+        DesensitizationService(
+            ServiceConfig(
+                inbox_dir=str(inbox),
+                output_dir=str(tmp_path / f"out{k}"),
+                work_dir=str(tmp_path / f"work{k}"),
+                poll_interval_s=0.05,
+                stable_polls=0,
+            ),
+            _pcfg(tmp_path),
+            engine,
+        )
+        for k in range(2)
+    ]
+    stop = threading.Event()
+    counts = [0, 0]
+
+    def run(k):
+        counts[k] = services[k].run(stop)
+
+    threads = [threading.Thread(target=run, args=(k,)) for k in range(2)]
+    for t in threads:
+        t.start()
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        done = sum(s.status["jobs_done"] + s.status["jobs_failed"] for s in services)
+        if done >= n_jobs and not any(
+            f for f in os.listdir(inbox) if not f.startswith(".")
+        ):
+            break
+        time.sleep(0.2)
+    stop.set()
+    for t in threads:
+        t.join(timeout=60)
+
+    outputs = []
+    for k in range(2):
+        d = tmp_path / f"out{k}"
+        if d.exists():
+            outputs += [f for f in os.listdir(d) if f.endswith("_processed.mp4")]
+    assert sorted(outputs) == sorted(
+        f"cam{i}_processed.mp4" for i in range(n_jobs)
+    ), "each job must be processed exactly once across the two workers"
+    assert sum(counts) == n_jobs
+    assert sum(s.status["jobs_failed"] for s in services) == 0
+
+
 def test_graceful_stop_between_jobs(tmp_path, engine):
     svc = _service(tmp_path, engine)
     stop = threading.Event()
