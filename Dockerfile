@@ -14,7 +14,7 @@ RUN apt-get update && apt-get install -y --no-install-recommends \
 WORKDIR /app
 COPY pyproject.toml README.md ./
 COPY video_desensitization_tpu ./video_desensitization_tpu
-COPY run.sh bench.py ./
+COPY run.sh bench.py config.ini.example ./
 
 # TPU runtime: jax[tpu] pulls libtpu; pin per deployment as needed.
 RUN pip3 install --no-cache-dir "jax[tpu]" flax optax opencv-python-headless protobuf \
@@ -24,5 +24,10 @@ RUN pip3 install --no-cache-dir "jax[tpu]" flax optax opencv-python-headless pro
 # Build the native libav layer for this image's ffmpeg ABI.
 RUN make -C video_desensitization_tpu/video/native
 
+# Sanity: the image must report a healthy environment (native layer, codecs).
+RUN python3 -m video_desensitization_tpu.cli.doctor
+
+# One-shot record job by default; the resident daemon is
+#   docker run ... --entrypoint python3 <img> -m video_desensitization_tpu.cli.serve config.ini
 ENTRYPOINT ["./run.sh"]
 CMD ["config.ini"]
