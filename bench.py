@@ -102,10 +102,11 @@ def main() -> None:
     # run-to-run; the best window reflects the pipeline, not link weather.
     # The median is reported alongside as the steady-state view.
     windows = int(os.environ.get("BENCH_WINDOWS", "4"))
-    # depth=3 measured ~20% over depth=2 in a weather-matched interleaved
-    # A/B (medians 38.8 vs 32.2 fps): one extra batch in flight rides out
-    # tunnel latency spikes.
-    depth = int(os.environ.get("BENCH_DEPTH", "3"))
+    # Interleaved weather-matched A/Bs: depth=3 measured ~20% over depth=2
+    # (medians 38.8 vs 32.2), and depth=5 another +6% median / +11% best
+    # over depth=3 (56.8/64.1 vs 53.7/57.8) — deeper queues ride out longer
+    # tunnel latency spikes for ~11 MB per extra in-flight batch.
+    depth = int(os.environ.get("BENCH_DEPTH", "5"))
     window_fps = []
     for _ in range(windows):
         t0 = time.perf_counter()

@@ -51,7 +51,7 @@ def process_video_stream(
     batch_size: int = 16,
     fps: Optional[float] = None,
     codec: Optional[str] = None,
-    prefetch_depth: int = 3,
+    prefetch_depth: int = 5,
 ) -> StreamStats:
     """Desensitize one video file end to end."""
     log = get_logger("stream")
@@ -165,7 +165,7 @@ def _run_device_stage(engine, in_q, out_q, stats, timer):
                 yield b
 
         with timer.stage("stream"):
-            for res in engine.process_stream(batches(), depth=3):
+            for res in engine.process_stream(batches(), depth=5):
                 stats.frames += res.frames.shape[0]
                 stats.faces += res.num_faces
                 stats.plates += res.num_plates
