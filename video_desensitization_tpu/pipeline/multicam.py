@@ -66,7 +66,7 @@ def process_videos_cobatched(
     fps: Optional[float] = None,
     codec: Optional[str] = None,
     queue_depth: int = 64,
-    inflight: int = 2,
+    inflight: int = 5,  # matches process_stream: deeper queues ride latency spikes
 ) -> Dict[str, CameraStats]:
     """Desensitize many videos through one shared device batch stream.
 
