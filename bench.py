@@ -102,11 +102,13 @@ def main() -> None:
     # run-to-run; the best window reflects the pipeline, not link weather.
     # The median is reported alongside as the steady-state view.
     windows = int(os.environ.get("BENCH_WINDOWS", "4"))
-    # Interleaved weather-matched A/Bs: depth=3 measured ~20% over depth=2
-    # (medians 38.8 vs 32.2), and depth=5 another +6% median / +11% best
-    # over depth=3 (56.8/64.1 vs 53.7/57.8) — deeper queues ride out longer
-    # tunnel latency spikes for ~11 MB per extra in-flight batch.
-    depth = int(os.environ.get("BENCH_DEPTH", "5"))
+    # Depth default lives in pipeline.throughput.DEFAULT_STREAM_DEPTH with
+    # the interleaved A/B measurements that chose it.
+    from video_desensitization_tpu.pipeline.throughput import (
+        DEFAULT_STREAM_DEPTH,
+    )
+
+    depth = int(os.environ.get("BENCH_DEPTH", str(DEFAULT_STREAM_DEPTH)))
     window_fps = []
     for _ in range(windows):
         t0 = time.perf_counter()

@@ -91,7 +91,9 @@ def test_tiered_gaussian_anonymizer(face):
         for x1, y1, x2, y2 in (
             np.asarray(res.face_boxes[i]).astype(int).reshape(-1, 4)
         ):
-            mask[max(0, y1):y2, max(0, x1):x2] = True
+            # Clip like the blur helper does; a raw negative x2/y2 would
+            # wrap the slice and corrupt the mask.
+            mask[max(0, y1):max(0, y2), max(0, x1):max(0, x2)] = True
         np.testing.assert_array_equal(res.frames[i][~mask], frames[i][~mask])
         if mask.any():
             assert not np.array_equal(res.frames[i][mask], frames[i][mask])

@@ -28,6 +28,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from video_desensitization_tpu.pipeline.throughput import DEFAULT_STREAM_DEPTH
 from video_desensitization_tpu.utils.logging import get_logger
 from video_desensitization_tpu.video.av import (
     HEVC_DEFAULTS,
@@ -66,7 +67,7 @@ def process_videos_cobatched(
     fps: Optional[float] = None,
     codec: Optional[str] = None,
     queue_depth: int = 64,
-    inflight: int = 5,  # matches process_stream: deeper queues ride latency spikes
+    inflight: int = DEFAULT_STREAM_DEPTH,
 ) -> Dict[str, CameraStats]:
     """Desensitize many videos through one shared device batch stream.
 

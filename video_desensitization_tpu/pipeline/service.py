@@ -258,6 +258,24 @@ class DesensitizationService:
             self.log.error("inbox unreadable: %s", e)
             return []
         jobs = group_inbox(names, self.pcfg.video_formats)
+        # Garbage-collect orphaned .complete markers (their files were
+        # claimed in a race window, or the base never existed): a stale
+        # marker would bypass the stability gate for a future same-named
+        # upload. The uploader protocol writes markers LAST, so a marker
+        # without members after a grace period cannot be an early marker.
+        job_names = {j.name for j in jobs}
+        for n in names:
+            if not n.endswith(".complete") or n[: -len(".complete")] in job_names:
+                continue
+            path = os.path.join(self.cfg.inbox_dir, n)
+            try:
+                if time.time() - os.stat(path).st_mtime > max(
+                    60.0, 4 * self.cfg.poll_interval_s
+                ):
+                    os.unlink(path)
+                    self.log.warning("removed orphaned marker %s", n)
+            except OSError:
+                pass
         live = {os.path.join(self.cfg.inbox_dir, n) for j in jobs for n in j.members}
         for stale in [p for p in self._stat_history if p not in live]:
             del self._stat_history[stale]
@@ -311,7 +329,11 @@ class DesensitizationService:
         )
         lock_path = None
         try:
-            if len(job.members) > 1:
+            if job.kind == "record":
+                # EVERY record claim takes the set lock, not just currently-
+                # multi-member ones: a scan that lands mid-claim can see a
+                # partial set as a single-member (or marker-completed) job
+                # and would otherwise steal the not-yet-moved segments.
                 lock_path = self._acquire_set_lock(job)
                 if lock_path is None:
                     return None
@@ -358,11 +380,13 @@ class DesensitizationService:
                     os.unlink(lock_path)
                 except OSError:
                     pass
-        if job.complete:  # consume the uploader's marker with the claim
-            try:
-                os.unlink(os.path.join(self.cfg.inbox_dir, f"{job.name}.complete"))
-            except OSError:
-                pass
+        # Consume the uploader's marker with the claim — unconditionally, so
+        # a marker that landed between scan() and claim() cannot linger and
+        # defeat the stability gate for a future same-named upload.
+        try:
+            os.unlink(os.path.join(self.cfg.inbox_dir, f"{job.name}.complete"))
+        except OSError:
+            pass
         return job_dir
 
     def _owner_alive(self, job_dir: str) -> bool:

@@ -51,7 +51,11 @@ def process_video_stream(
     batch_size: int = 16,
     fps: Optional[float] = None,
     codec: Optional[str] = None,
-    prefetch_depth: int = 5,
+    # Decode-side raw-batch queue. Kept shallower than the device stream
+    # depth: each slot pins a full RAW batch (~6.2 MB/frame at 1080p), and
+    # the measured depth win came from the device-stage queue, not here.
+    # Peak RAM ≈ (prefetch_depth + DEFAULT_STREAM_DEPTH + 2) × batch bytes.
+    prefetch_depth: int = 3,
 ) -> StreamStats:
     """Desensitize one video file end to end."""
     log = get_logger("stream")
@@ -165,7 +169,7 @@ def _run_device_stage(engine, in_q, out_q, stats, timer):
                 yield b
 
         with timer.stage("stream"):
-            for res in engine.process_stream(batches(), depth=5):
+            for res in engine.process_stream(batches()):
                 stats.frames += res.frames.shape[0]
                 stats.faces += res.num_faces
                 stats.plates += res.num_plates

@@ -42,6 +42,14 @@ from video_desensitization_tpu.detect.plate import PlateDetector
 from video_desensitization_tpu.ops.mosaic import mosaic_host_inplace
 
 
+# In-flight batches per stage boundary for pipelined streaming. Measured on
+# the tunneled chip via interleaved weather-matched A/Bs: 3 beat 2 by ~20%
+# median, 5 beat 3 by ~6% median / 11% best, 8 was within noise of 5.
+# RAM cost: each in-flight item pins its RAW frame batch (~6.2 MB/frame at
+# 1080p) until finalize — peak ≈ (prefetch + depth + 2) × batch bytes.
+DEFAULT_STREAM_DEPTH = 5
+
+
 @dataclasses.dataclass
 class TieredResult:
     frames: np.ndarray  # blurred uint8 (B, H, W, 3), host-mosaicked
@@ -136,6 +144,18 @@ class TieredPipeline:
         self.plate = plate_detector
         self.mosaic_level = mosaic_level
         self.anonymizer = anonymizer
+        if anonymizer == "gaussian":
+            from video_desensitization_tpu.ops.mosaic import (
+                gaussian_blur_host_inplace,
+            )
+
+            self._blur = gaussian_blur_host_inplace
+        elif anonymizer == "mosaic":
+            self._blur = lambda im, bx: mosaic_host_inplace(im, bx, mosaic_level)
+        else:
+            raise ValueError(
+                f"anonymizer must be 'mosaic' or 'gaussian', got {anonymizer!r}"
+            )
         self.input_hw = face_detector.input_hw
         self.transfer = transfer
         self._pool = ThreadPoolExecutor(max_workers=letterbox_workers)
@@ -274,18 +294,10 @@ class TieredPipeline:
         # memcpys per 1080p frame — as expensive as the mosaic itself
         # (stage_breakdown.py measured the host mosaic stage at 370 ms/batch
         # of a ~900 ms cycle).
-        if self.anonymizer == "gaussian":
-            from video_desensitization_tpu.ops.mosaic import (
-                gaussian_blur_host_inplace,
-            )
-
-            blur = lambda im, bx: gaussian_blur_host_inplace(im, bx)
-        else:
-            blur = lambda im, bx: mosaic_host_inplace(im, bx, self.mosaic_level)
         out = np.empty_like(frames)
         def _one(i):
             np.copyto(out[i], frames[i])
-            blur(out[i], merged_all[i])
+            self._blur(out[i], merged_all[i])
         list(self._pool.map(_one, range(b)))
         return TieredResult(
             frames=out,
@@ -304,7 +316,7 @@ class TieredPipeline:
 
     # -- pipelined stream -------------------------------------------------
     def process_stream(
-        self, batches: Iterable[np.ndarray], depth: int = 2
+        self, batches: Iterable[np.ndarray], depth: int = DEFAULT_STREAM_DEPTH
     ) -> Iterator[TieredResult]:
         """Pipeline an iterable of uint8 NHWC batches through three
         overlapped stages:
