@@ -72,3 +72,45 @@ def test_config_engine_and_resume_keys(tmp_path):
     assert PipelineConfig().engine == "tiered"
     assert PipelineConfig().resume is True
     assert PipelineConfig().transfer == "rgb"
+
+
+def test_stage_timer_accumulates_and_reports():
+    import time
+
+    from video_desensitization_tpu.utils.timers import StageTimer
+
+    t = StageTimer()
+    for _ in range(3):
+        with t.stage("work"):
+            time.sleep(0.01)
+    with t.stage("other"):
+        pass
+    rep = t.report()
+    assert rep["work"] >= 0.03 and t.counts["work"] == 3
+    assert t.counts["other"] == 1
+    s = t.summary()
+    assert "work" in s and "(x3)" in s
+    # A raising stage still records its time.
+    try:
+        with t.stage("boom"):
+            raise RuntimeError("x")
+    except RuntimeError:
+        pass
+    assert t.counts["boom"] == 1
+
+
+def test_logger_hierarchy_and_file_sink(tmp_path):
+    import logging
+
+    from video_desensitization_tpu.utils.logging import get_logger, setup_logger
+
+    logf = tmp_path / "proc.log"
+    root = setup_logger(log_file=str(logf))
+    assert root.name == "VideoProcessor"
+    child = get_logger("unit_test_child")
+    assert child.name == "VideoProcessor.unit_test_child"
+    child.debug("debug-level message lands in the file sink")
+    for h in root.handlers:
+        h.flush()
+    if logf.exists():  # file handler may be from an earlier setup call
+        assert "debug-level message" in logf.read_text()
