@@ -64,6 +64,49 @@ def test_converted_tree_matches_init_tree(oracle_and_flax):
     assert all(jax.tree.leaves(mism))
 
 
+@pytest.fixture(scope="module")
+def mnet_oracle_and_flax():
+    from torch_oracle import TRetinaFaceOracle as _O
+
+    gen = torch.Generator().manual_seed(7)
+    oracle = _O(backbone="mobilenet")
+    with torch.no_grad():
+        _randomize_bn_stats(oracle, gen)
+    oracle.eval()
+    variables = convert_retinaface_state_dict(oracle.state_dict())
+    net = RetinaFace(cfg=cfg_mnet, mode="eval", dtype=jnp.float32)
+    return oracle, net, variables
+
+
+def test_mobilenet_full_network_parity(mnet_oracle_and_flax):
+    """cfg_mnet analog of the resnet50 parity test: validates the converter
+    stage mapping (models/convert.py:92-105) AND the Flax depthwise/NHWC
+    semantics against the reference layout (mobilenet025.py:21-53)."""
+    oracle, net, variables = mnet_oracle_and_flax
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, (2, 128, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_bbox, t_cls, t_landm = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    f_bbox, f_cls, f_landm = net.apply(variables, jnp.asarray(x))
+    a = (16**2 + 8**2 + 4**2) * 2
+    assert f_bbox.shape == (2, a, 4)
+    np.testing.assert_allclose(np.asarray(f_bbox), t_bbox.numpy(), rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f_cls), t_cls.numpy(), rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f_landm), t_landm.numpy(), rtol=1e-3, atol=2e-4)
+
+
+def test_mobilenet_converted_tree_matches_init_tree(mnet_oracle_and_flax):
+    _, net, variables = mnet_oracle_and_flax
+    init_vars = net.init(
+        {"params": jax.random.PRNGKey(3)}, jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    want = jax.tree.structure(jax.tree.map(lambda x: x.shape, dict(init_vars)))
+    got = jax.tree.structure(jax.tree.map(lambda x: x.shape, variables))
+    assert got == want
+    mism = jax.tree.map(lambda a, b: a.shape == b.shape, variables, dict(init_vars))
+    assert all(jax.tree.leaves(mism))
+
+
 def test_mobilenet_shapes():
     net = RetinaFace(cfg=cfg_mnet, mode="eval", dtype=jnp.float32)
     x = jnp.zeros((2, 128, 128, 3), jnp.float32)

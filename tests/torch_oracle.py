@@ -75,6 +75,45 @@ def t_conv_bn(cin, cout, k=3, s=1, p=1, leaky=None):
     return tnn.Sequential(*layers)
 
 
+def t_conv_dw(cin, cout, stride=1, leaky=0.1):
+    """Depthwise-separable block with the reference Sequential layout
+    (mobilenet025.py:10-19): indices 0/1 = dw conv/BN, 3/4 = pw conv/BN."""
+    return tnn.Sequential(
+        tnn.Conv2d(cin, cin, 3, stride, 1, groups=cin, bias=False),
+        tnn.BatchNorm2d(cin),
+        tnn.LeakyReLU(leaky),
+        tnn.Conv2d(cin, cout, 1, 1, 0, bias=False),
+        tnn.BatchNorm2d(cout),
+        tnn.LeakyReLU(leaky),
+    )
+
+
+class TMobileNet025Body(tnn.Module):
+    """MobileNetV1 x0.25 feature body, reference state_dict layout
+    (mobilenet025.py:21-53: stage1/2/3 Sequentials of conv_bn + conv_dw)."""
+
+    def __init__(self):
+        super().__init__()
+        self.stage1 = tnn.Sequential(
+            t_conv_bn(3, 8, 3, 2, 1, 0.1),
+            t_conv_dw(8, 16, 1),
+            t_conv_dw(16, 32, 2),
+            t_conv_dw(32, 32, 1),
+            t_conv_dw(32, 64, 2),
+            t_conv_dw(64, 64, 1),
+        )
+        self.stage2 = tnn.Sequential(
+            t_conv_dw(64, 128, 2), *[t_conv_dw(128, 128, 1) for _ in range(5)]
+        )
+        self.stage3 = tnn.Sequential(t_conv_dw(128, 256, 2), t_conv_dw(256, 256, 1))
+
+    def forward(self, x):
+        s1 = self.stage1(x)
+        s2 = self.stage2(s1)
+        s3 = self.stage3(s2)
+        return s1, s2, s3
+
+
 class TFPN(tnn.Module):
     def __init__(self, cins, cout, leaky):
         super().__init__()
@@ -120,12 +159,16 @@ class THead(tnn.Module):
 
 
 class TRetinaFaceOracle(tnn.Module):
-    def __init__(self, cout=256, cins=(512, 1024, 2048)):
+    def __init__(self, cout=256, cins=(512, 1024, 2048), backbone="resnet50"):
         super().__init__()
+        if backbone == "mobilenet":
+            # cfg_mnet geometry: in_channel=32 -> cins (64, 128, 256), out 64
+            # (reference retinaface.py:60-69, config.py:1-16).
+            cout, cins = 64, (64, 128, 256)
         # conv_bn blocks always end in LeakyReLU; slope 0 == ReLU (reference
         # layers.py:41,71). Only the *_no_relu blocks pass leaky=None below.
         leaky = 0.1 if cout <= 64 else 0.0
-        self.body = TResNet50Body()
+        self.body = TMobileNet025Body() if backbone == "mobilenet" else TResNet50Body()
         self.fpn = TFPN(cins, cout, leaky)
         self.ssh1 = TSSH(cout, cout, leaky)
         self.ssh2 = TSSH(cout, cout, leaky)
