@@ -1,0 +1,87 @@
+"""TRUE multi-process distributed test (non-degenerate multihost path).
+
+Spawns a reference single-process run (8 virtual CPU devices) and then TWO
+worker processes (4 virtual CPU devices each) that jax.distributed.initialize
+against a localhost coordinator, build the global 8-device mesh, feed only
+their local half of the batch via shard_batch_multihost, run one sharded
+train step + shard_mapped inference, and assert equality with the reference.
+
+This is the real 2-process path the in-suite tests can only exercise at
+process_count == 1 (tests/test_multidevice.py). Reference analog:
+nn.DataParallel at pod scale (reference detect_face/face.py:56).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "distributed_worker.py")
+
+
+def _env():
+    env = dict(os.environ)
+    # the worker script pins platform/device-count via jax.config; scrub any
+    # inherited flags that could fight it
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_TPU_TESTS", None)
+    return env
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_matches_single_process(tmp_path):
+    ref = tmp_path / "ref.npz"
+    r = subprocess.run(
+        [sys.executable, WORKER, "--mode", "reference", "--out", str(ref)],
+        env=_env(),
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, f"reference run failed:\n{r.stdout}\n{r.stderr}"
+    assert ref.exists()
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                WORKER,
+                "--mode",
+                "worker",
+                "--process-id",
+                str(i),
+                "--num-processes",
+                "2",
+                "--coordinator",
+                f"127.0.0.1:{port}",
+                "--ref",
+                str(ref),
+            ],
+            env=_env(),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed (rc={p.returncode}):\n{out}"
+    assert "compare ok" in outs[0], outs[0]
