@@ -13,6 +13,7 @@ import pytest
 
 from video_desensitization_tpu.api.config import load_config
 from video_desensitization_tpu.pipeline.service import (
+    JOURNAL_NAME,
     DesensitizationService,
     ServiceConfig,
     group_inbox,
@@ -102,7 +103,8 @@ def test_group_inbox_segments_and_videos():
 
 def test_segment_set_claim_is_serialized_by_lock(tmp_path, engine):
     """A held set lock must make claim() back off (another worker is mid-way
-    through renaming the set's members); stale locks are broken."""
+    through renaming the set's members); a lock whose same-host owner is
+    provably dead is broken."""
     svc = _service(tmp_path, engine)
     inbox = tmp_path / "inbox"
     (inbox / "x.record.00000").write_bytes(b"a")
@@ -112,12 +114,17 @@ def test_segment_set_claim_is_serialized_by_lock(tmp_path, engine):
         "x.record.00000", "x.record.00001",
     ]
     lock = inbox / ".claim.x.record.lock"
-    lock.write_text("other-host:1\n")
-    assert svc.claim(jobs[0]) is None  # fresh lock held elsewhere -> back off
+    # dead same-host owner: pid from our own process tree that has exited
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lock.write_text(f"{os.uname().nodename}:{proc.pid}\n")
+    assert svc.claim(jobs[0]) is None  # fresh lock: mid-write race guard
     assert (inbox / "x.record.00000").exists()  # nothing moved
     old = time.time() - 120
     os.utime(lock, (old, old))
-    assert svc.claim(jobs[0]) is None  # stale lock broken this scan...
+    assert svc.claim(jobs[0]) is None  # dead owner's stale lock broken...
     assert not lock.exists()
     d = svc.claim(jobs[0])  # ...and the claim succeeds on the next
     assert d is not None
@@ -125,6 +132,73 @@ def test_segment_set_claim_is_serialized_by_lock(tmp_path, engine):
     assert sorted(os.listdir(os.path.join(d, "in"))) == [
         "x.record.00000", "x.record.00001",
     ]
+
+
+def test_live_owner_lock_is_never_broken(tmp_path, engine):
+    """A lock held by a LIVE same-host process must survive any age: a
+    worker stalled >60s mid-claim (NFS hiccup, swap storm) must not have its
+    set stolen and split into two partial jobs."""
+    svc = _service(tmp_path, engine)
+    inbox = tmp_path / "inbox"
+    (inbox / "y.record.00000").write_bytes(b"a")
+    jobs = svc.scan()
+    lock = inbox / ".claim.y.record.lock"
+    lock.write_text(f"{os.uname().nodename}:{os.getpid()}\n")  # alive: us
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    assert svc.claim(jobs[0]) is None
+    assert lock.exists()  # old but honest -> kept
+
+
+def test_foreign_lock_breaks_only_on_orphan_grace_scale(tmp_path, engine):
+    """Foreign-host owners can't be pid-probed; their stale locks age out on
+    the orphan_grace_s horizon (when their partial claim becomes recoverable
+    too), not after 60s."""
+    svc = _service(tmp_path, engine, orphan_grace_s=100.0)
+    inbox = tmp_path / "inbox"
+    (inbox / "z.record.00000").write_bytes(b"a")
+    jobs = svc.scan()
+    lock = inbox / ".claim.z.record.lock"
+    lock.write_text("some-other-host:12345\n")
+    old = time.time() - 90  # < orphan_grace_s
+    os.utime(lock, (old, old))
+    assert svc.claim(jobs[0]) is None
+    assert lock.exists()  # within grace -> kept
+    old = time.time() - 200  # > orphan_grace_s
+    os.utime(lock, (old, old))
+    assert svc.claim(jobs[0]) is None  # broken this attempt
+    assert not lock.exists()
+    assert svc.claim(jobs[0]) is not None
+
+
+def test_nfs_safe_link_lock_claims_exactly_once(tmp_path, engine):
+    """The link(2)-count lock variant: two services racing the same set,
+    exactly one wins; the loser backs off without disturbing the claim."""
+    s1 = _service(tmp_path, engine, nfs_safe_locks=True)
+    s2 = DesensitizationService(
+        ServiceConfig(
+            inbox_dir=str(tmp_path / "inbox"),
+            output_dir=str(tmp_path / "out"),
+            poll_interval_s=0.05,
+            stable_polls=0,
+            nfs_safe_locks=True,
+        ),
+        _pcfg(tmp_path),
+        engine,
+    )
+    inbox = tmp_path / "inbox"
+    (inbox / "w.record.00000").write_bytes(b"a")
+    (inbox / "w.record.00001").write_bytes(b"b")
+    j1, j2 = s1.scan(), s2.scan()
+    d1 = s1.claim(j1[0])
+    d2 = s2.claim(j2[0])
+    assert (d1 is None) != (d2 is None)  # exactly one winner
+    won = d1 or d2
+    assert sorted(os.listdir(os.path.join(won, "in"))) == [
+        "w.record.00000", "w.record.00001",
+    ]
+    assert not (inbox / ".claim.w.record.lock").exists()  # released
+    assert not [n for n in os.listdir(inbox) if ".lock." in n]  # no tmp litter
 
 
 def test_segment_set_membership_must_stabilize(tmp_path, engine):
@@ -166,10 +240,35 @@ def test_load_service_config(tmp_path):
     assert cfg.http_port == 0
     assert cfg.delete_inputs
     assert cfg.work_dir == "/data/in/.work"
+    # CLI overrides apply BEFORE derivation: work/done/failed follow the
+    # overridden inbox tree (cli/serve.py --inbox/--out).
+    over = load_service_config(str(ini), inbox_dir="/mnt/in2", output_dir="/mnt/o2")
+    assert over.inbox_dir == "/mnt/in2"
+    assert over.output_dir == "/mnt/o2"
+    assert over.work_dir == "/mnt/in2/.work"
+    assert over.done_dir == "/mnt/in2/.done"
+    assert over.failed_dir == "/mnt/in2/.failed"
+    # ...but an explicitly-configured work_dir is respected over derivation
+    ini2 = tmp_path / "svc2.ini"
+    ini2.write_text(
+        "[SERVICE]\ninbox_dir=/data/in\noutput_dir=/data/out\n"
+        "work_dir=/scratch/work\n"
+    )
+    over2 = load_service_config(str(ini2), inbox_dir="/mnt/in3")
+    assert over2.work_dir == "/scratch/work"
+    assert over2.done_dir == "/mnt/in3/.done"
+    # overrides can also SUPPLY the required keys when the file omits them
+    ini3 = tmp_path / "svc3.ini"
+    ini3.write_text("[SERVICE]\npoll_interval=1.5\n")
+    over3 = load_service_config(str(ini3), inbox_dir="/a", output_dir="/b")
+    assert (over3.inbox_dir, over3.output_dir) == ("/a", "/b")
+    assert over3.poll_interval_s == 1.5
     bad = tmp_path / "bad.ini"
     bad.write_text("[PATHS]\nmodel_path=x\n")
     with pytest.raises(ValueError, match="SERVICE"):
         load_service_config(str(bad))
+    with pytest.raises(ValueError, match="requires"):
+        load_service_config(str(ini3))  # no overrides, keys missing
 
 
 @needs_native
@@ -381,6 +480,52 @@ def test_stability_gate_defers_growing_files(tmp_path, engine):
     os.utime(f, (1, 1))  # force distinct mtime signature
     assert svc.scan() == []
     assert svc.scan() != []  # unchanged across a full poll -> claimable
+
+
+def test_stable_polls_zero_claims_on_first_sight(tmp_path, engine):
+    """stable_polls=0 is a documented opt-out of upload protection: a file
+    is claimable the scan it first appears, with no unchanged-interval
+    evidence (ServiceConfig.stable_polls docstring)."""
+    svc = _service(tmp_path, engine)  # stable_polls=0
+    f = tmp_path / "inbox" / "up.mp4"
+    f.write_bytes(b"a" * 10)
+    jobs = svc.scan()
+    assert [j.name for j in jobs] == ["up.mp4"]  # first sighting, claimable
+    assert svc.claim(jobs[0]) is not None
+
+
+def test_heartbeat_keeps_job_json_fresh(tmp_path, engine):
+    """run_job touches job.json while the job runs, so a foreign worker's
+    age-based _owner_alive check sees liveness, not claim time."""
+    svc = _service(tmp_path, engine, heartbeat_interval_s=0.05)
+    job_dir = tmp_path / "inbox" / ".work" / "j"
+    job_dir.mkdir(parents=True)
+    meta = job_dir / "job.json"
+    meta.write_text("{}")
+    old = time.time() - 3600
+    os.utime(meta, (old, old))
+    stop = svc._start_heartbeat(str(job_dir))
+    try:
+        deadline = time.time() + 5.0
+        while os.stat(meta).st_mtime < time.time() - 10 and time.time() < deadline:
+            time.sleep(0.05)
+        assert os.stat(meta).st_mtime > time.time() - 10  # refreshed
+    finally:
+        stop.set()
+
+
+def test_journal_rotation(tmp_path, engine):
+    svc = _service(tmp_path, engine, journal_max_bytes=200)
+    for i in range(50):
+        svc._journal({"ts": i, "job": "x", "ok": True})
+    rotated = tmp_path / "out" / (JOURNAL_NAME + ".1")
+    live = tmp_path / "out" / JOURNAL_NAME
+    assert rotated.exists()
+    assert live.exists() and live.stat().st_size <= 300
+    # every line in both generations is valid JSON
+    for p in (rotated, live):
+        for line in p.read_text().splitlines():
+            json.loads(line)
 
 
 def test_stability_gate_requires_poll_spacing(tmp_path, engine):

@@ -60,17 +60,19 @@ def main(argv=None) -> int:
     log = setup_logger()
     pcfg = load_config(args.config, strict=False)
     try:
-        scfg = load_service_config(args.config)
+        # --inbox/--out are applied BEFORE ServiceConfig is constructed so
+        # the derived work/done/failed dirs follow the override (mutating
+        # inbox_dir afterwards would leave them under the old tree, or fail
+        # the same-filesystem startup check).
+        scfg = load_service_config(
+            args.config, inbox_dir=args.inbox, output_dir=args.out
+        )
     except ValueError:
         if not (args.inbox and args.out):
             raise SystemExit(
                 "no [SERVICE] section in config and no --inbox/--out given"
             )
         scfg = ServiceConfig(inbox_dir=args.inbox, output_dir=args.out)
-    if args.inbox:
-        scfg.inbox_dir = args.inbox
-    if args.out:
-        scfg.output_dir = args.out
     if args.port is not None:
         scfg.http_port = args.port
     if args.poll is not None:

@@ -57,14 +57,30 @@ class ServiceConfig:
     done_dir: str = ""  # default: <inbox>/.done ("" + delete_inputs -> remove)
     failed_dir: str = ""  # default: <inbox>/.failed
     poll_interval_s: float = 2.0
-    stable_polls: int = 1  # extra unchanged polls required before claiming
+    # Extra unchanged polls required before claiming. ``stable_polls=0`` is an
+    # explicit opt-out: files are claimed ON FIRST SIGHT with no
+    # unchanged-interval evidence at all, so in-progress uploads can be
+    # half-read. Use 0 only when every uploader writes `<name>.complete`
+    # markers (which carry an exact completeness signal) or uploads are
+    # rename-atomic; the service logs a warning at startup.
+    stable_polls: int = 1
     delete_inputs: bool = False  # remove inputs after success instead of .done
     http_port: Optional[int] = None  # None = no HTTP endpoint; 0 = ephemeral
     http_host: str = "127.0.0.1"  # bind 0.0.0.0 for external LB health probes
-    # Work dirs older than this are presumed abandoned and re-queued at
-    # startup (in addition to same-host dead-pid detection). Must exceed the
-    # longest plausible job.
+    # Work dirs whose job.json heartbeat is older than this are presumed
+    # abandoned and re-queued (in addition to same-host dead-pid detection).
+    # run_job touches job.json every ``heartbeat_interval_s`` while the job
+    # runs, so this only needs to exceed the longest plausible heartbeat GAP
+    # (worker paused/swapped), not the longest job.
     orphan_grace_s: float = 6 * 3600.0
+    heartbeat_interval_s: float = 30.0
+    # Rotate service_journal.jsonl once it exceeds this many bytes (one
+    # .1 generation is kept). 0 disables rotation.
+    journal_max_bytes: int = 64 * 1024 * 1024
+    # Use the link(2)-count lock idiom instead of O_CREAT|O_EXCL for the
+    # segment-set claim lock. O_EXCL is exact on local filesystems and NFSv4
+    # but only emulated on NFSv3; hard-link counts are exact there too.
+    nfs_safe_locks: bool = False
 
     def __post_init__(self):
         self.work_dir = self.work_dir or os.path.join(self.inbox_dir, ".work")
@@ -72,8 +88,18 @@ class ServiceConfig:
         self.failed_dir = self.failed_dir or os.path.join(self.inbox_dir, ".failed")
 
 
-def load_service_config(path: str) -> ServiceConfig:
-    """Read the optional [SERVICE] section of a config.ini."""
+def load_service_config(
+    path: str,
+    inbox_dir: Optional[str] = None,
+    output_dir: Optional[str] = None,
+) -> ServiceConfig:
+    """Read the optional [SERVICE] section of a config.ini.
+
+    ``inbox_dir`` / ``output_dir`` override the file's values BEFORE the
+    ServiceConfig is constructed, so the derived work/done/failed dirs (set
+    in ``__post_init__`` from inbox_dir) follow the override — mutating the
+    dataclass after construction would leave them pointing at the old tree.
+    """
     import configparser
 
     parser = configparser.ConfigParser()
@@ -85,12 +111,12 @@ def load_service_config(path: str) -> ServiceConfig:
             "poll_interval, stable_polls, http_port, delete_inputs)"
         )
     s = parser["SERVICE"]
-    if "inbox_dir" not in s or "output_dir" not in s:
+    if not (inbox_dir or "inbox_dir" in s) or not (output_dir or "output_dir" in s):
         raise ValueError("[SERVICE] requires inbox_dir and output_dir")
     port = s.get("http_port", "").strip()
     return ServiceConfig(
-        inbox_dir=s.get("inbox_dir").strip(),
-        output_dir=s.get("output_dir").strip(),
+        inbox_dir=inbox_dir or s.get("inbox_dir").strip(),
+        output_dir=output_dir or s.get("output_dir").strip(),
         work_dir=s.get("work_dir", "").strip(),
         done_dir=s.get("done_dir", "").strip(),
         failed_dir=s.get("failed_dir", "").strip(),
@@ -100,6 +126,9 @@ def load_service_config(path: str) -> ServiceConfig:
         http_port=int(port) if port else None,
         http_host=s.get("http_host", "127.0.0.1").strip(),
         orphan_grace_s=s.getfloat("orphan_grace_s", 6 * 3600.0),
+        heartbeat_interval_s=s.getfloat("heartbeat_interval", 30.0),
+        journal_max_bytes=s.getint("journal_max_bytes", 64 * 1024 * 1024),
+        nfs_safe_locks=s.getboolean("nfs_safe_locks", False),
     )
 
 
@@ -169,7 +198,6 @@ class DesensitizationService:
         self.log = get_logger("service")
         self._stat_history: Dict[str, Tuple[int, float, int, float]] = {}
         self._set_history: Dict[str, Tuple[Tuple[str, ...], int, float]] = {}
-        self._seq = 0
         self._lock = threading.Lock()
         self.status = {
             "started_ts": time.time(),
@@ -198,6 +226,12 @@ class DesensitizationService:
                 f"work_dir {self.cfg.work_dir!r} is on a different filesystem "
                 f"than inbox_dir {self.cfg.inbox_dir!r}; atomic claims need "
                 "them co-located (done/failed dirs may live anywhere)"
+            )
+        if self.cfg.stable_polls <= 0:
+            self.log.warning(
+                "stable_polls=0: files are claimed on first sight with NO "
+                "upload protection — use only with .complete markers or "
+                "rename-atomic uploads"
             )
         self.journal_path = os.path.join(self.cfg.output_dir, JOURNAL_NAME)
         self._httpd = None
@@ -296,37 +330,109 @@ class DesensitizationService:
 
     # -- claiming ----------------------------------------------------------
 
+    def _maybe_break_stale_lock(self, lock_path: str) -> None:
+        """Break a held set lock ONLY when its owner is provably gone.
+
+        A lock records ``host:pid``. Same host: the pid is probed directly —
+        a live owner's lock is never broken, no matter its age (a worker
+        stalled >60 s mid-claim must not have its set stolen and split).
+        A provably-dead same-host owner has its partial claim recovered
+        (recover_orphans re-queues the already-moved segments) BEFORE the
+        lock is unlinked, so the reassembled set is claimed whole, never as
+        two partial jobs. Foreign hosts can't be probed; their locks age out
+        on the ``orphan_grace_s`` scale — the same horizon on which their
+        partial work dir becomes recoverable.
+        """
+        try:
+            st = os.stat(lock_path)
+            with open(lock_path) as f:
+                content = f.read().strip()
+        except OSError:
+            return  # released (or unreadable) meanwhile; next scan retries
+        age = time.time() - st.st_mtime
+        host, _, pid = content.partition(":")
+        if host == os.uname().nodename and pid.isdigit():
+            try:
+                os.kill(int(pid), 0)
+                return  # owner alive -> lock is honest, keep it
+            except ProcessLookupError:
+                pass  # provably dead -> break below
+            except OSError:
+                return  # can't probe (permissions oddity): keep
+            if age < max(5.0, 2 * self.cfg.poll_interval_s):
+                return  # dodge mid-write/pid-reuse races on brand-new locks
+            self.recover_orphans()  # reassemble the dead owner's partial set
+        elif age <= max(60.0, self.cfg.orphan_grace_s):
+            return  # unparsable or foreign owner: only break on grace scale
+        try:
+            os.unlink(lock_path)
+            self.log.warning("broke stale claim lock %s", os.path.basename(lock_path))
+        except OSError:
+            pass
+
     def _acquire_set_lock(self, job: Job) -> Optional[str]:
         """Exclusive inbox-level lock for multi-member (segment-set) claims.
 
         Renaming members one by one is atomic per file but not per SET:
         another worker's scan could land between two renames, see only the
-        not-yet-moved segments, and claim them as a separate job. An
-        O_CREAT|O_EXCL lock file serializes set claims; stale locks (from a
-        worker that died mid-claim) are broken after 60 s and the next
-        startup's recover_orphans re-queues the partial claim.
+        not-yet-moved segments, and claim them as a separate job. A lock file
+        serializes set claims (O_CREAT|O_EXCL by default; the link(2)-count
+        idiom under ``nfs_safe_locks`` where NFSv3's emulated O_EXCL isn't
+        trustworthy); stale locks are broken only when the owner is provably
+        dead (same-host pid probe, after recovering its partial claim) or,
+        for unprobeable foreign hosts, aged past ``orphan_grace_s``.
         """
         lock_path = os.path.join(self.cfg.inbox_dir, f".claim.{job.name}.lock")
+        ident = f"{os.uname().nodename}:{os.getpid()}\n"
+        if self.cfg.nfs_safe_locks:
+            # link(2) idiom: write a unique temp file, hard-link it to the
+            # lock name, then verify st_nlink == 2 on the temp — exact even
+            # when an NFSv3 server's reply to link() is lost.
+            tmp_path = f"{lock_path}.{os.uname().nodename}.{os.getpid()}"
+            try:
+                with open(tmp_path, "w") as f:
+                    f.write(ident)
+                try:
+                    os.link(tmp_path, lock_path)
+                except OSError:
+                    pass  # verdict comes from the nlink count below
+                won = os.stat(tmp_path).st_nlink == 2
+            except OSError:
+                won = False
+            finally:
+                try:
+                    os.unlink(tmp_path)
+                except OSError:
+                    pass
+            if not won:
+                self._maybe_break_stale_lock(lock_path)
+                return None
+            return lock_path
         try:
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            try:
-                if time.time() - os.stat(lock_path).st_mtime > 60.0:
-                    os.unlink(lock_path)  # stale; next scan retries
-            except OSError:
-                pass
+            self._maybe_break_stale_lock(lock_path)
             return None
         with os.fdopen(fd, "w") as f:
-            f.write(f"{os.uname().nodename}:{os.getpid()}\n")
+            f.write(ident)
         return lock_path
 
     def claim(self, job: Job) -> Optional[str]:
         """Atomically claim a job; returns its private work dir or None if
         another worker won the race (or members vanished)."""
-        self._seq += 1
-        job_dir = os.path.join(
-            self.cfg.work_dir, f"{job.name}.{os.getpid()}.{self._seq}"
-        )
+        import tempfile
+
+        # mkdtemp (atomic mkdir, even over NFS) guarantees a worker-unique
+        # work dir: name.pid.seq schemes collide when two HOSTS sharing the
+        # work dir reuse a pid number, and a loser's cleanup rmtree would
+        # then delete the winner's claimed inputs.
+        try:
+            job_dir = tempfile.mkdtemp(
+                prefix=f"{job.name}.{os.getpid()}.", dir=self.cfg.work_dir
+            )
+        except OSError as e:
+            self.log.error("cannot create work dir for %s: %s", job.name, e)
+            return None
         lock_path = None
         try:
             if job.kind == "record":
@@ -499,8 +605,32 @@ class DesensitizationService:
         return {"frames": res.frames, "faces": res.faces, "plates": res.plates}
 
     def _journal(self, entry: dict) -> None:
+        if self.cfg.journal_max_bytes > 0:
+            try:
+                if os.path.getsize(self.journal_path) > self.cfg.journal_max_bytes:
+                    os.replace(self.journal_path, self.journal_path + ".1")
+                    self.log.info("rotated %s", JOURNAL_NAME)
+            except OSError:
+                pass  # absent journal / transient stat failure: just append
         with open(self.journal_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
+
+    def _start_heartbeat(self, job_dir: str) -> threading.Event:
+        """Touch job.json periodically while a job runs, so foreign workers'
+        ``_owner_alive`` age check reflects liveness rather than claim time —
+        a legitimately-long job is never mistaken for an orphan."""
+        stop = threading.Event()
+        meta_path = os.path.join(job_dir, "job.json")
+        interval = max(1.0, self.cfg.heartbeat_interval_s)
+
+        def beat():
+            while not stop.wait(interval):
+                try:
+                    os.utime(meta_path)
+                except OSError:
+                    return  # job dir gone (finalized): nothing left to prove
+        threading.Thread(target=beat, name="vdt-heartbeat", daemon=True).start()
+        return stop
 
     def _finalize(self, job: Job, job_dir: str, ok: bool, error: str = "") -> None:
         in_dir = os.path.join(job_dir, "in")
@@ -526,9 +656,11 @@ class DesensitizationService:
         t0 = time.time()
         with self._lock:
             self.status["current"] = job.name
+        heartbeat = self._start_heartbeat(job_dir)
         try:
             stats = self._process(job, job_dir)
         except Exception as e:  # noqa: BLE001 — service must outlive any job
+            heartbeat.set()
             self.log.error("job %s FAILED: %s", job.name, e)
             try:
                 self._finalize(job, job_dir, ok=False, error=str(e))
@@ -549,6 +681,7 @@ class DesensitizationService:
                 }
             )
             return False
+        heartbeat.set()
         try:
             self._finalize(job, job_dir, ok=True)
         except OSError as fe:
