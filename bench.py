@@ -15,18 +15,22 @@ Prints ONE JSON line:
 
 (`benchmarks/stage_breakdown.py` decomposes one e2e cycle per stage.)
 
-value stays the best-of-N e2e window (the link to this chip fluctuates
-run-to-run; the best window reflects the pipeline, not link weather), with
-the median and every window reported alongside. device_fps times the fused
-two-detector program alone with device-resident inputs and boxes-only
-readback — evidence of chip-side speed independent of the single host core.
-It is measured pipelined (dispatches queued, one sync) at BENCH_DEVICE_BATCH
-(default 128): a synchronous per-batch loop mostly measures the tunnel's
-~77 ms round trip (reported too, as device_fps_sync_b<batch>).
+value is the MEDIAN of N e2e windows — the honest steady-state headline
+(stage_breakdown attributes window spread entirely to h2d link weather);
+the best window and all windows are reported alongside (best_fps,
+windows). device_fps times the fused two-detector program alone with
+device-resident inputs and boxes-only readback — evidence of chip-side
+speed independent of the single host core. It is measured pipelined
+(dispatches queued, one sync) at BENCH_DEVICE_BATCH (default 128): a
+synchronous per-batch loop mostly measures the tunnel's ~77 ms round trip
+(reported too, as device_fps_sync_b<batch>).
 mfu = device_fps * XLA-costed flops/frame / peak bf16 flops (v5e 197 TF/s,
 override with BENCH_PEAK_FLOPS). fused_fps is the fully-fused engine
 (detect + Pallas mosaic in ONE program, raw frames both ways) — the
-deployment shape for bandwidth-rich hosts.
+deployment shape for bandwidth-rich hosts — measured e2e on THIS host's
+link; fused_device_fps measures the same program pipelined with
+device-resident frames (what a PCIe-class host would see chip-side, the
+number engine=auto's threshold extrapolates from).
 
 vs_baseline divides by the reference-structure CPU-path measurement cached in
 benchmarks/cpu_baseline.json (re-derive with benchmarks/cpu_baseline.py).
@@ -98,9 +102,9 @@ def main() -> None:
     pipe.process_batch(frames)
     pipe.process_batch(frames)
 
-    # Best of N windows: the host<->chip link throughput fluctuates
-    # run-to-run; the best window reflects the pipeline, not link weather.
-    # The median is reported alongside as the steady-state view.
+    # N windows: the host<->chip link throughput fluctuates run-to-run; the
+    # MEDIAN is the headline (steady state), the best window is reported
+    # alongside (the pipeline's capability under good link weather).
     windows = int(os.environ.get("BENCH_WINDOWS", "4"))
     # Depth default lives in pipeline.throughput.DEFAULT_STREAM_DEPTH with
     # the interleaved A/B measurements that chose it.
@@ -119,8 +123,8 @@ def main() -> None:
             n_frames += res.frames.shape[0]
         dt = time.perf_counter() - t0
         window_fps.append(n_frames / dt)
-    fps = max(window_fps)
-    median_fps = float(np.median(window_fps))
+    best_fps = max(window_fps)
+    fps = float(np.median(window_fps))  # headline = median (honest steady state)
 
     # ---- device-program fps: the fused two-detector program alone, with
     # device-resident letterboxed input and boxes-only readback. This is the
@@ -201,6 +205,8 @@ def main() -> None:
     # ---- fully-fused engine (detect + Pallas mosaic in one program; raw
     # uint8 frames both ways). Deployment shape for bandwidth-rich hosts.
     fused_fps = None
+    fused_device_fps = None
+    fused_device_fps_small = None
     if os.environ.get("BENCH_FUSED", "1") == "1":
         from video_desensitization_tpu.pipeline.engine import (
             DesensitizationEngine,
@@ -213,6 +219,33 @@ def main() -> None:
         for _ in range(fused_iters):
             engine.process_batch(frames)
         fused_fps = fused_iters * batch / (time.perf_counter() - t0)
+
+        # fused_device_fps: the same fused program PIPELINED with frames
+        # already device-resident (dispatches queued, one sync) — the
+        # chip-side rate a PCIe-class host's pipeline would sustain, i.e.
+        # the realistic engine=fused number that `engine=auto` extrapolates
+        # to above its bandwidth threshold (cli/main.py pick_engine). The
+        # tunnel-bound fused_fps above mostly measures this host's link.
+        def _fused_device(bsz, iters):
+            reps = int(np.ceil(bsz / frames.shape[0]))
+            fr = jnp.asarray(np.concatenate([frames] * reps)[:bsz])
+            sh = jnp.asarray(
+                np.tile(np.array([[1080.0, 1920.0]], np.float32), (bsz, 1))
+            )
+            out = engine._program(face.variables, plate_vars, fr, sh)
+            np.asarray(out[2][:1])  # compile + warm; sync via a small output
+            t0 = time.perf_counter()
+            outs = [
+                engine._program(face.variables, plate_vars, fr, sh)
+                for _ in range(iters)
+            ]
+            for o in outs:  # one sync after all dispatches are queued
+                np.asarray(o[2][:1])
+            return iters * bsz / (time.perf_counter() - t0)
+
+        fd_iters = max(1, int(os.environ.get("BENCH_FUSED_DEVICE_ITERS", "4")))
+        fused_device_fps_small = _fused_device(batch, fd_iters)
+        fused_device_fps = _fused_device(dev_batch, fd_iters)
 
     # ---- link weather: h2d bandwidth probe. The e2e windows swing with the
     # host->chip link (tunneled here); recording the link rate alongside
@@ -249,7 +282,7 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps else None,
-                "median_fps": round(median_fps, 2),
+                "best_fps": round(best_fps, 2),
                 "windows": [round(w, 2) for w in window_fps],
                 "device_fps": round(device_fps, 2),
                 "device_batch": dev_batch,
@@ -257,6 +290,14 @@ def main() -> None:
                 "flops_per_frame": flops_per_frame,
                 "mfu": round(mfu, 4) if mfu is not None else None,
                 "fused_fps": round(fused_fps, 2) if fused_fps else None,
+                "fused_device_fps": (
+                    round(fused_device_fps, 2) if fused_device_fps else None
+                ),
+                "fused_device_fps_b%d" % batch: (
+                    round(fused_device_fps_small, 2)
+                    if fused_device_fps_small
+                    else None
+                ),
                 "link_h2d_mbps": (
                     round(link_h2d_mbps, 1) if link_h2d_mbps else None
                 ),
