@@ -1,0 +1,157 @@
+"""On-chip profiler capture + HBM-traffic analysis of the fused program.
+
+VERDICT r2 task 1: the "HBM-bound at ~92% of roofline" claim rested on the
+XLA cost model (total bytes from ``compiled.cost_analysis()``), not on a
+trace. This harness captures a real ``jax.profiler`` trace of the fused
+two-detector program (RetinaFace-R50 + YOLOv8n, batch BENCH_DEVICE_BATCH,
+device-resident inputs, pipelined dispatches) on the TPU, then converts the
+xplane with the in-env xprof toolchain into the per-HLO-op table
+(``hlo_stats``) and reports the top ops by self time with their
+occurrences, FLOP rate and (when present) bytes-accessed — pinning which
+tensors actually dominate HBM traffic.
+
+Run on the TPU host:
+
+    python benchmarks/profile_device.py [--batch 128] [--iters 8] \
+        [--out benchmarks/profiles/r3]
+
+Writes:
+  <out>/plugins/profile/<run>/*.xplane.pb   raw trace (checked-in artifact)
+  <out>/hlo_stats_top.json                  machine-readable top-op table
+  <out>/summary.md                          human summary
+
+Reference hot path being out-profiled: combine_detect.py:183-277.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_engine(batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    from video_desensitization_tpu.detect.face import Retinaface
+    from video_desensitization_tpu.detect.plate import PlateDetector
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+
+    # Same box budget as bench.py: random-init weights pass ~50% of anchors,
+    # so uncapped max_detections both misrepresents the mosaic load of real
+    # footage and blows the Pallas kernel's VMEM scoped allocation at b128.
+    face = Retinaface(
+        model_path=None,
+        input_shape=[640, 640, 3],
+        confidence=0.5,
+        nms_iou=0.4,
+        max_detections=16,
+        dtype=jnp.bfloat16,
+    )
+    plate = PlateDetector(
+        model_path=None, confidence=0.5, max_detections=8, dtype=jnp.bfloat16
+    )
+    engine = DesensitizationEngine(face, plate)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (batch, 1080, 1920, 3), dtype=np.uint8)
+    fr = jnp.asarray(frames)
+    sh = jnp.asarray(np.tile(np.array([[1080.0, 1920.0]], np.float32), (batch, 1)))
+    return engine, face, plate, fr, sh
+
+
+def capture(out_dir: str, batch: int, iters: int) -> float:
+    import jax
+
+    engine, face, plate, fr, sh = build_engine(batch)
+    run = lambda: engine._program(face.variables, plate.variables, fr, sh)
+    np.asarray(run()[2][:1])  # compile + warm
+    # timed (unprofiled) pipelined reference rate
+    t0 = time.perf_counter()
+    outs = [run() for _ in range(iters)]
+    for o in outs:
+        np.asarray(o[2][:1])
+    fps = iters * batch / (time.perf_counter() - t0)
+
+    with jax.profiler.trace(out_dir):
+        outs = [run() for _ in range(iters)]
+        for o in outs:
+            np.asarray(o[2][:1])
+    return fps
+
+
+def analyze(out_dir: str, top_n: int = 25):
+    """xplane -> hlo_stats table via the in-env xprof converter."""
+    from xprof.convert import _pywrap_profiler_plugin as pp
+
+    paths = sorted(
+        glob.glob(os.path.join(out_dir, "plugins/profile/*/*.xplane.pb"))
+    )
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {out_dir}")
+    raw, success = pp.xspace_to_tools_data([paths[-1]], "hlo_stats")
+    if not success:
+        raise SystemExit("xprof hlo_stats conversion failed")
+    data = json.loads(raw if isinstance(raw, str) else raw.decode())
+    # GViz table: {cols: [{label,...}], rows: [{c: [{v: ...}, ...]}]}
+    table = data[0] if isinstance(data, list) else data
+    cols = [c.get("label") or c.get("id") for c in table["p"]["cols"]] if "p" in table else [
+        c.get("label") or c.get("id") for c in table["cols"]
+    ]
+    rows_raw = table["p"]["rows"] if "p" in table else table["rows"]
+    rows = []
+    for r in rows_raw:
+        rows.append({cols[i]: (c or {}).get("v") for i, c in enumerate(r["c"])})
+    return cols, rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_DEVICE_BATCH", "128")))
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--out", default="benchmarks/profiles/r3")
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--analyze-only", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    fps = None
+    if not args.analyze_only:
+        fps = capture(args.out, args.batch, args.iters)
+        print(f"pipelined device rate during capture session: {fps:.1f} fps")
+
+    cols, rows = analyze(args.out, args.top)
+    # normalize the column names we care about
+    def col(row, *names, default=None):
+        for n in names:
+            for k, v in row.items():
+                if k and n.lower() in str(k).lower():
+                    return v
+        return default
+
+    for r in rows:
+        r["_time"] = float(col(r, "total time (us)", "total_time", "time (us)", default=0) or 0)
+    rows.sort(key=lambda r: -r["_time"])
+    top = rows[: args.top]
+    with open(os.path.join(args.out, "hlo_stats_top.json"), "w") as f:
+        json.dump({"columns": cols, "fps": fps, "batch": args.batch,
+                   "rows": top}, f, indent=1, default=str)
+    total = sum(r["_time"] for r in rows) or 1.0
+    print(f"{'self us':>12}  {'%':>5}  {'occ':>5}  category / op")
+    for r in top:
+        name = col(r, "hlo op name", "op name", "name", default="?")
+        cat = col(r, "category", default="?")
+        occ = col(r, "occurrence", default="?")
+        print(f"{r['_time']:12.0f}  {100*r['_time']/total:5.1f}  {occ!s:>5}  {cat} / {str(name)[:90]}")
+    print(f"table -> {args.out}/hlo_stats_top.json  (cols: {cols})")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,18 +29,22 @@ sequential per-box application, including overlapping boxes.
 
 Layout (pallas_guide.md): the channel-interleaved frame is treated as
 (H, W*3) uint8 rows — W*3 is a lane multiple of 128 for common widths
-(1920*3 = 45*128). Mosaic's ``dynamic_gather`` only supports a single vreg
-along the gather dimension, so the two gathers take hardware-shaped forms:
+(1920*3 = 45*128). Mosaic's ``dynamic_gather`` is avoided entirely (it
+silently reads wrong lanes at operand lane offsets >= 256 on v5e), so both
+gathers run as exact one-hot matmuls on the MXU (uint8 values in f32):
 
 * **source rows**: a (STRIP, STRIP) one-hot matrix built from the strip's
-  source-row indices, contracted against the window on the MXU — a gather
-  as matmul, exact for uint8 values carried in float32;
-* **source columns**: the window reshaped to (STRIP, W*3/128, 128) so the
-  gather dimension is exactly one 128-lane vreg; the interleaved column
-  displacement is bounded by 3*(2*level+1) + 2 < 128, so a source lane is
-  in the output's own 128-lane group or the one before it — one
-  ``take_along_axis`` each on the window and its group-rolled copy, selected
-  by source-group parity.
+  source-row indices, contracted against each active lane group;
+* **source columns**: the interleaved column displacement is bounded by
+  3*(2*level+1) + 2 < 128, so a source lane lives in the output's own
+  128-lane group or the one before it — per group, two banded one-hot
+  matmuls against the pristine window plus the row one-hot.
+
+All three matmuls are gated per 128-lane group on box overlap (pl.when)
+and writes go to a separate accumulator window, so MXU work is
+box-width-proportional — a strip of a 100-px face box costs ~3 small
+matmuls instead of 45-group full-row passes (profiled 26% of the fused
+program before gating, benchmarks/profiles/r3).
 """
 
 from __future__ import annotations
@@ -71,7 +75,8 @@ def _mosaic_kernel(
     csrc_ref,  # (1, K, W*3) VMEM f32 — interleaved source column per column
     frame_ref,  # (B, H, W*3) ANY (HBM) uint8 — full array (ANY-space rule)
     out_ref,  # (B, H, W*3) ANY (HBM) uint8 — full array
-    scratch,  # (STRIP, W*3) VMEM uint8
+    scratch,  # (STRIP, W*3) VMEM uint8 — pristine input window
+    ascratch,  # (STRIP, W*3) VMEM uint8 — output accumulator window
     yscratch,  # (STRIP, KPAD) VMEM f32 — strip's source-row window, all boxes
     copy_sem,
     *,
@@ -149,75 +154,80 @@ def _mosaic_kernel(
             )  # (STRIP, 1)
             rel = jnp.clip(ysel.astype(jnp.int32) - wstart, 0, STRIP - 1)
 
-            # u8 -> f32 must hop through i32 (Mosaic lacks the direct cast).
-            window = scratch[:, :].astype(jnp.int32).astype(jnp.float32)
-            # Row gather as a one-hot matmul on the MXU (exact for uint8
-            # values in f32): onehot[o, s] = 1 iff rel[o] == s.
+            # Row gather one-hot: onehot[o, s] = 1 iff rel[o] == s.
             src_ids = jax.lax.broadcasted_iota(jnp.int32, (STRIP, STRIP), 1)
             onehot = (src_ids == rel).astype(jnp.float32)
-            gathered = jnp.dot(
-                onehot, window, preferred_element_type=jnp.float32
-            )  # (STRIP, w3)
+
+            # Output accumulator starts as the pristine window; only lane
+            # groups the box intersects are recomputed. All source reads go
+            # through `scratch` (never rewritten within a strip), so the
+            # per-group writes below cannot corrupt later groups' sources.
+            ascratch[:, :] = scratch[:, :]
 
             # Column gather per 128-lane group (Mosaic: 2D gathers only, one
             # vreg along the gather dim). A source lane lives in the output's
-            # own group or the previous one (displacement < 128), so each
-            # group needs two single-vreg gathers and a select. The group
-            # loop is a static Python unroll.
+            # own group or the previous one (displacement < 128), so
+            # out[:, g] = rows(win[:, g] @ OH_g + win[:, g-1] @ OH_{g-1})
+            # with OH_h[a, b] = (csrc[g*128+b] == h*128 + a). The row gather
+            # and both column matmuls are gated per group on box overlap
+            # (pl.when), so MXU work is box-WIDTH-proportional instead of
+            # full-row — the gather-as-matmul cost for a 100-px face box
+            # drops ~15x. One-hot matmuls are exact selections of uint8
+            # values in f32: row-first vs column-first order is immaterial.
+            # (No dynamic_gather anywhere: Mosaic's dynamic_gather silently
+            # reads wrong lanes at lane offsets >= 256, verified on v5e.)
             ngroups = w3 // 128
-            # Column gather as banded one-hot matmuls — NO dynamic_gather:
-            # Mosaic's dynamic_gather silently reads wrong lanes when the
-            # operand is sliced at a lane offset >= 256 (verified on v5e).
-            # A source lane lives in the output's 128-lane group or the one
-            # before it, and each source matches exactly one group, so
-            # out[:, g] = win[:, g] @ OH_g + win[:, g-1] @ OH_{g-1} with
-            # OH_h[a, b] = (csrc[b] == h*128 + a). csrc_full is the index
-            # tile materialized by an MXU outer product (vector.broadcast of
-            # a sliced row carries a lane-offset layout Mosaic rejects);
-            # with STRIP == 128 it doubles as the row-constant (128, 128)
-            # comparison matrix for each block.
             ones_col = jnp.ones((STRIP, 1), jnp.float32)
-            # HIGHEST precision: default bf16 MXU passes round the column
-            # indices (up to W*3 > 256); the data matmuls below stay at
-            # default precision — uint8 values and 0/1 one-hots are exact
-            # in bf16 and the MXU accumulates in f32.
-            csrc_full = jnp.dot(
-                ones_col,
-                csrc,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(jnp.int32)  # (STRIP, w3), row-constant
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (STRIP, 128), 0)
-            pieces = []
+            x1c = x1 * 3
+            x2c = x2 * 3
             for g in range(ngroups):
                 sl = slice(g * 128, (g + 1) * 128)
-                csl = csrc_full[:, sl]  # (128, 128), row-constant
-                oh_same = (row_ids + g * 128 == csl).astype(jnp.float32)
-                piece = jnp.dot(
-                    gathered[:, sl], oh_same, preferred_element_type=jnp.float32
-                )
-                if g > 0:
-                    prev_sl = slice((g - 1) * 128, g * 128)
-                    oh_prev = (row_ids + (g - 1) * 128 == csl).astype(
-                        jnp.float32
-                    )
-                    piece = piece + jnp.dot(
-                        gathered[:, prev_sl],
-                        oh_prev,
-                        preferred_element_type=jnp.float32,
-                    )
-                pieces.append(piece)
-            remapped = jnp.concatenate(pieces, axis=1)  # (STRIP, w3)
 
-            keep = jnp.logical_and(writable, in_x)  # (STRIP, w3)
-            scratch[:, :] = (
-                jnp.where(keep, remapped, window)
-                .astype(jnp.int32)
-                .astype(jnp.uint8)
-            )
+                @pl.when(
+                    jnp.logical_and(x1c < (g + 1) * 128, x2c > g * 128)
+                )
+                def _(g=g, sl=sl):
+                    # HIGHEST precision: default bf16 MXU passes round the
+                    # column indices (up to W*3 > 256); the data matmuls
+                    # stay at default precision — uint8 values and 0/1
+                    # one-hots are exact in bf16 with f32 accumulation.
+                    csl = jnp.dot(
+                        ones_col,
+                        csrc[:, sl],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).astype(jnp.int32)  # (STRIP, 128), row-constant
+                    win_g = scratch[:, sl].astype(jnp.int32).astype(jnp.float32)
+                    oh_same = (row_ids + g * 128 == csl).astype(jnp.float32)
+                    tmp = jnp.dot(
+                        win_g, oh_same, preferred_element_type=jnp.float32
+                    )
+                    if g > 0:
+                        prev_sl = slice((g - 1) * 128, g * 128)
+                        win_p = (
+                            scratch[:, prev_sl]
+                            .astype(jnp.int32)
+                            .astype(jnp.float32)
+                        )
+                        oh_prev = (
+                            row_ids + (g - 1) * 128 == csl
+                        ).astype(jnp.float32)
+                        tmp = tmp + jnp.dot(
+                            win_p, oh_prev, preferred_element_type=jnp.float32
+                        )
+                    piece = jnp.dot(
+                        onehot, tmp, preferred_element_type=jnp.float32
+                    )  # (STRIP, 128)
+                    keep = jnp.logical_and(writable, in_x[:, sl])
+                    ascratch[:, sl] = (
+                        jnp.where(keep, piece, win_g)
+                        .astype(jnp.int32)
+                        .astype(jnp.uint8)
+                    )
 
             dma_out = pltpu.make_async_copy(
-                scratch, out_ref.at[i, pl.ds(wstart, STRIP), :], copy_sem.at[0]
+                ascratch, out_ref.at[i, pl.ds(wstart, STRIP), :], copy_sem.at[0]
             )
             dma_out.start()
             dma_out.wait()
@@ -278,35 +288,47 @@ def mosaic_boxes_batch_pallas(
         axis=-1,
     ).astype(jnp.int32)
 
+    # The per-box offset lookup ``tbl[pos - start]`` is a per-row SHIFT of a
+    # table row, not a general gather. Expressed as take_along_axis it
+    # lowers to an elementwise (slice_sizes=1) XLA gather that runs at
+    # ~1 GiB/s on TPU and dominated the fused program (profiled 47% of self
+    # time at batch 128, benchmarks/profiles/r3). A batched dynamic_slice
+    # of [zeros | row] at offset (maxdim - start) is the same shift as ONE
+    # contiguous slice-gather per (frame, box) row — orders of magnitude
+    # fewer indices. Out-of-box positions read zeros/pad garbage, which the
+    # kernel masks via the SMEM box coordinates (writable/in_x).
+    def _shifted_rows(tbl: jax.Array, starts: jax.Array, out_len: int):
+        big = jnp.concatenate([jnp.zeros_like(tbl), tbl], axis=2)
+        sl = lambda row, st: jax.lax.dynamic_slice(row, (st,), (out_len,))
+        return jax.vmap(jax.vmap(sl))(big, starts)
+
     # Absolute per-output-row source rows, stored (B, H, K) so the kernel's
     # per-strip DMA reads rows on the sublane axis. Rows outside the box
-    # carry clamped garbage — the kernel masks them out.
+    # carry garbage — the kernel masks them out.
     ytbl = table[jnp.where(ok, y2 - y1, zeros)]  # (B, K, maxdim)
-    rows = jnp.arange(h, dtype=jnp.int32)
-    roff = jnp.clip(rows[None, None, :] - y1[..., None], 0, maxdim - 1)
-    ysrc = (y1[..., None] + jnp.take_along_axis(ytbl, roff, axis=2)).astype(
-        jnp.float32
-    )
+    yoff = _shifted_rows(ytbl, maxdim - y1, h)  # (B, K, H): ytbl[r - y1]
+    ysrc = (y1[..., None] + yoff).astype(jnp.float32)
     ysrc = jnp.swapaxes(ysrc, 1, 2)  # (B, H, K) — f32 for the one-hot matmul
     kpad = ((k + 127) // 128) * 128
     ysrc = jnp.pad(ysrc, ((0, 0), (0, 0), (0, kpad - k)))
 
-    # Absolute per-output-column interleaved source columns: (B, K, W*3),
-    # identity outside the box.
+    # Absolute per-output-column source pixels at PIXEL resolution (B, K, W),
+    # identity outside the box, then channel-interleaved to (B, K, W*3).
     xtbl = table[jnp.where(ok, x2 - x1, zeros)]
-    col3 = jnp.arange(w3, dtype=jnp.int32)
-    colpix = col3 // 3
-    chan = col3 - colpix * 3
-    toff = jnp.clip(colpix[None, None, :] - x1[..., None], 0, maxdim - 1)
-    xoff = jnp.take_along_axis(xtbl, toff, axis=2)
+    xoff = _shifted_rows(xtbl, maxdim - x1, w)  # (B, K, W): xtbl[c - x1]
+    colpix = jnp.arange(w, dtype=jnp.int32)
     in_x = (colpix[None, None, :] >= x1[..., None]) & (
         colpix[None, None, :] < x2[..., None]
     )
+    csrc_pix = jnp.where(in_x, x1[..., None] + xoff, colpix[None, None, :])
+    chan = jnp.arange(3, dtype=jnp.int32)
     # float32 on purpose: the kernel broadcasts this row with an MXU outer
     # product (values < 2^24, exact in f32).
-    csrc = jnp.where(
-        in_x, (x1[..., None] + xoff) * 3 + chan[None, None, :], col3[None, None, :]
-    ).astype(jnp.float32)
+    csrc = (
+        (csrc_pix[..., None] * 3 + chan[None, None, None, :])
+        .reshape(b, k, w3)
+        .astype(jnp.float32)
+    )
 
     flat = frames.reshape(b, h, w3)
     kernel = functools.partial(_mosaic_kernel, height=h, width=w)
@@ -322,6 +344,7 @@ def mosaic_boxes_batch_pallas(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((b, h, w3), jnp.uint8),
         scratch_shapes=[
+            pltpu.VMEM((STRIP, w3), jnp.uint8),
             pltpu.VMEM((STRIP, w3), jnp.uint8),
             pltpu.VMEM((STRIP, kpad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
