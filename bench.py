@@ -10,8 +10,10 @@ host mosaic, with double-buffered batches so transfer overlaps compute.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
-     "median_fps": N, "windows": [...], "device_fps": N, "mfu": N,
-     "flops_per_frame": N, "fused_fps": N, "link_h2d_mbps": N}
+     "best_fps": N, "windows": [...], "device_fps": N, "device_batch": N,
+     "device_fps_sync_b<B>": N, "flops_per_frame": N, "mfu": N,
+     "fused_fps": N, "fused_device_fps": N, "fused_device_fps_b<B>": N,
+     "link_h2d_mbps": N}
 
 (`benchmarks/stage_breakdown.py` decomposes one e2e cycle per stage.)
 

@@ -150,6 +150,22 @@ def test_live_owner_lock_is_never_broken(tmp_path, engine):
     assert lock.exists()  # old but honest -> kept
 
 
+def test_losing_claim_leaks_no_work_dir(tmp_path, engine):
+    """A claim lost to a held set lock must not leave an empty work dir:
+    one leaked dir per poll against a long-held lock grows without bound
+    and recover_orphans skips dirs without in/."""
+    svc = _service(tmp_path, engine)
+    inbox = tmp_path / "inbox"
+    (inbox / "w.record.00000").write_bytes(b"a")
+    jobs = svc.scan()
+    lock = inbox / ".claim.w.record.lock"
+    lock.write_text(f"{os.uname().nodename}:{os.getpid()}\n")  # live owner
+    for _ in range(3):
+        assert svc.claim(jobs[0]) is None
+    leftovers = [d for d in os.listdir(svc.cfg.work_dir)]
+    assert leftovers == [], leftovers
+
+
 def test_foreign_lock_breaks_only_on_orphan_grace_scale(tmp_path, engine):
     """Foreign-host owners can't be pid-probed; their stale locks age out on
     the orphan_grace_s horizon (when their partial claim becomes recoverable

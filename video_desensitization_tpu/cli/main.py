@@ -72,18 +72,20 @@ def probe_link_gib_s(size_mb: int = 32, reps: int = 2) -> float:
 # Backwards-compatible alias (the old name was ambiguous about bits vs bytes).
 probe_link_gbps = probe_link_gib_s
 
-# engine=auto threshold, GiB/s — derived from MEASURED chip-side rates, not
-# extrapolation. The fused program sustains 443 fps pipelined at batch 128
-# with frames device-resident (bench.py fused_device_fps, r3 — and that is
-# the worst case: random-weight giant boxes; real footage's few small boxes
-# cost the gated kernel far less). The tiered path's host-stage ceiling is
-# ~300 fps/batch-32 on a modest host (stage_breakdown.py: letterbox 56 ms +
-# mosaic 50 ms per batch). Fused therefore wins exactly when the link can
-# carry >= 300 fps of raw 1080p frames both ways (~12.4 MB/frame): 3.7 GB/s
-# half-duplex. The probe measures h2d only; 4 GiB/s covers the half-duplex
-# worst case with margin, and by 4 GiB/s fused also beats tiered outright
-# (443 vs 300 chip-side).
-AUTO_ENGINE_FUSED_GIB_S = 4.0
+# engine=auto threshold, GiB/s — derived from MEASURED chip-side rates
+# (bench.py fused_device_fps, r3). The fused program sustains 443 fps
+# pipelined at batch 128 with frames device-resident — a worst-case bound
+# (random-weight giant boxes; real footage's few small boxes cost the gated
+# kernel ~0.5 ms/frame, benchmarks/mosaic_bench.py). The tiered path's
+# host-stage ceiling is ~300 fps/batch-32 on a modest host
+# (stage_breakdown.py: letterbox 56 ms + mosaic 50 ms per batch). Fused
+# must move raw 1080p frames BOTH ways (~12.4 MB/frame), so beating tiered
+# needs >3.7 GB/s of AGGREGATE link throughput. The probe measures h2d
+# alone and cannot tell full- from half-duplex: on a half-duplex link a
+# 4 GiB/s probe means only ~4.3 GB/s aggregate -> ~170 fps fused, a LOSS.
+# At 6 GiB/s even the half-duplex case sustains >= 520 fps of frame
+# traffic, above the 443 fps chip bound — fused cannot lose there.
+AUTO_ENGINE_FUSED_GIB_S = 6.0
 
 
 def pick_engine(gib_s: float) -> str:

@@ -83,20 +83,13 @@ class PlateDetector:
         h, w = self.input_hw
         # cv2-bit-exact integer letterbox when the host cv2 build's rounding
         # is recognized for this static geometry (ultralytics preprocesses
-        # with cv2.resize INTER_LINEAR too); float fallback otherwise.
-        from video_desensitization_tpu.ops.image import (
-            cv2_resize_formula,
-            letterbox_device_exact,
-        )
+        # with cv2.resize INTER_LINEAR too); float fallback otherwise. One
+        # selection point shared with the face path (ops.image).
+        from video_desensitization_tpu.ops.image import letterbox_device_auto
 
-        nh, nw, _, _ = letterbox_params((ih, iw), (h, w))
-        formula = cv2_resize_formula((ih, iw), (nh, nw))
-        if formula is not None:
-            x = letterbox_device_exact(
-                frames_u8, self.input_hw, pad_value=YOLO_PAD_VALUE, formula=formula
-            )
-        else:
-            x = letterbox_device(frames_u8, self.input_hw, pad_value=YOLO_PAD_VALUE)
+        x = letterbox_device_auto(
+            frames_u8, self.input_hw, pad_value=YOLO_PAD_VALUE
+        )
         x = (x / 255.0).astype(self.net.dtype)
         boxes, probs = self.net.apply(variables, x, train=False)
         score = jnp.max(probs, axis=-1, keepdims=True)

@@ -337,6 +337,36 @@ def letterbox_device_exact(
     )
 
 
+def letterbox_device_auto(
+    frames: Array,
+    dst_hw: Tuple[int, int],
+    pad_value: float = PAD_VALUE,
+    exact: str = "auto",
+) -> Array:
+    """Device letterbox with the cv2-bit-exact path auto-selected.
+
+    ``exact``: "auto" uses the cv2-bit-exact integer letterbox whenever this
+    build's cv2 rounding is recognized for the static geometry (detected
+    once at trace time, host-side), falling back to ``jax.image.resize``;
+    "never" forces the float path; "scalar"/"simd" force a formula (for
+    environments without cv2 at trace time). The single selection point for
+    every detector's preprocessing (face mean-sub path and the plate /255
+    path both route through here).
+    """
+    b, ih, iw, c = frames.shape
+    formula = None
+    if exact in ("scalar", "simd"):
+        formula = exact
+    elif exact == "auto":
+        nh, nw, _, _ = letterbox_params((ih, iw), dst_hw)
+        formula = cv2_resize_formula((ih, iw), (nh, nw))
+    if formula is not None:
+        return letterbox_device_exact(
+            frames, dst_hw, pad_value=pad_value, formula=formula
+        )
+    return letterbox_device(frames, dst_hw, pad_value=pad_value)
+
+
 def preprocess_batch_device(
     frames: Array,
     input_hw: Tuple[int, int],
@@ -345,23 +375,8 @@ def preprocess_batch_device(
 ) -> Array:
     """uint8 NHWC frames -> letterboxed, mean-subtracted model input batch.
 
-    ``exact``: "auto" uses the cv2-bit-exact integer letterbox whenever this
-    build's cv2 rounding is recognized for the static geometry (detected
-    once at trace time, host-side), falling back to ``jax.image.resize``;
-    "never" forces the float path; "scalar"/"simd" force a formula (for
-    environments without cv2 at trace time).
+    ``exact`` is forwarded to ``letterbox_device_auto``.
     """
-    b, ih, iw, c = frames.shape
-    h, w = input_hw
-    formula = None
-    if exact in ("scalar", "simd"):
-        formula = exact
-    elif exact == "auto":
-        nh, nw, _, _ = letterbox_params((ih, iw), (h, w))
-        formula = cv2_resize_formula((ih, iw), (nh, nw))
-    if formula is not None:
-        x = letterbox_device_exact(frames, input_hw, formula=formula)
-    else:
-        x = letterbox_device(frames, input_hw)
+    x = letterbox_device_auto(frames, input_hw, exact=exact)
     x = preprocess_input(x)
     return x.astype(dtype)

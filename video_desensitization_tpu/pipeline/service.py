@@ -126,7 +126,9 @@ def load_service_config(
         http_port=int(port) if port else None,
         http_host=s.get("http_host", "127.0.0.1").strip(),
         orphan_grace_s=s.getfloat("orphan_grace_s", 6 * 3600.0),
-        heartbeat_interval_s=s.getfloat("heartbeat_interval", 30.0),
+        heartbeat_interval_s=s.getfloat(
+            "heartbeat_interval_s", s.getfloat("heartbeat_interval", 30.0)
+        ),
         journal_max_bytes=s.getint("journal_max_bytes", 64 * 1024 * 1024),
         nfs_safe_locks=s.getboolean("nfs_safe_locks", False),
     )
@@ -398,7 +400,16 @@ class DesensitizationService:
                     pass  # verdict comes from the nlink count below
                 won = os.stat(tmp_path).st_nlink == 2
             except OSError:
-                won = False
+                # Can't stat the temp (transient NFS error) — but the link
+                # may have SUCCEEDED, leaving a lock bearing this live pid
+                # that nobody would ever break (we'd probe ourselves alive).
+                # Disambiguate by reading the lock itself: our ident means
+                # we won.
+                try:
+                    with open(lock_path) as f:
+                        won = f.read() == ident
+                except OSError:
+                    won = False
             finally:
                 try:
                     os.unlink(tmp_path)
@@ -442,6 +453,11 @@ class DesensitizationService:
                 # and would otherwise steal the not-yet-moved segments.
                 lock_path = self._acquire_set_lock(job)
                 if lock_path is None:
+                    # Remove the just-made (still empty) work dir: a losing
+                    # claim every poll against a long-held lock would
+                    # otherwise leak one dir per attempt, and
+                    # recover_orphans skips dirs without in/.
+                    shutil.rmtree(job_dir, ignore_errors=True)
                     return None
             os.makedirs(os.path.join(job_dir, "in"), exist_ok=True)
             lock_member = job.members[0]
@@ -627,8 +643,13 @@ class DesensitizationService:
             while not stop.wait(interval):
                 try:
                     os.utime(meta_path)
-                except OSError:
+                except FileNotFoundError:
                     return  # job dir gone (finalized): nothing left to prove
+                except OSError:
+                    # Transient fs error (NFS ESTALE/EIO): keep beating — a
+                    # dead heartbeat would age job.json until a foreign
+                    # worker steals the in-flight job.
+                    continue
         threading.Thread(target=beat, name="vdt-heartbeat", daemon=True).start()
         return stop
 
