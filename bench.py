@@ -13,7 +13,7 @@ Prints ONE JSON line:
      "best_fps": N, "windows": [...], "device_fps": N, "device_batch": N,
      "device_fps_sync_b<B>": N, "flops_per_frame": N, "mfu": N,
      "fused_fps": N, "fused_device_fps": N, "fused_device_fps_b<B>": N,
-     "link_h2d_mbps": N}
+     "fused_device_fps_nobox": N, "link_h2d_mbps": N}
 
 (`benchmarks/stage_breakdown.py` decomposes one e2e cycle per stage.)
 
@@ -32,7 +32,11 @@ override with BENCH_PEAK_FLOPS). fused_fps is the fully-fused engine
 deployment shape for bandwidth-rich hosts — measured e2e on THIS host's
 link; fused_device_fps measures the same program pipelined with
 device-resident frames (what a PCIe-class host would see chip-side, the
-number engine=auto's threshold extrapolates from).
+number engine=auto's threshold extrapolates from). Random-init weights
+make that a WORST-CASE mosaic load; fused_device_fps_nobox reruns it with
+confidence above any score (NMS keeps nothing) to pin the opposite,
+detect-bound end — production sits between the two, near the nobox bound
+(typical-load kernel cost is ~44 us/frame, benchmarks/mosaic_bench.py).
 
 vs_baseline divides by the reference-structure CPU-path measurement cached in
 benchmarks/cpu_baseline.json (re-derive with benchmarks/cpu_baseline.py).
@@ -209,6 +213,7 @@ def main() -> None:
     fused_fps = None
     fused_device_fps = None
     fused_device_fps_small = None
+    fused_device_fps_nobox = None
     if os.environ.get("BENCH_FUSED", "1") == "1":
         from video_desensitization_tpu.pipeline.engine import (
             DesensitizationEngine,
@@ -230,7 +235,9 @@ def main() -> None:
         # tunnel-bound fused_fps above mostly measures this host's link.
         def _fused_device(bsz, iters):
             reps = int(np.ceil(bsz / frames.shape[0]))
-            fr = jnp.asarray(np.concatenate([frames] * reps)[:bsz])
+            stack = np.concatenate([frames] * reps)[:bsz]
+            # engine programs take channel-interleaved flat (B, H, W*3) rows
+            fr = jnp.asarray(stack.reshape(bsz, stack.shape[1], -1))
             sh = jnp.asarray(
                 np.tile(np.array([[1080.0, 1920.0]], np.float32), (bsz, 1))
             )
@@ -248,6 +255,55 @@ def main() -> None:
         fd_iters = max(1, int(os.environ.get("BENCH_FUSED_DEVICE_ITERS", "4")))
         fused_device_fps_small = _fused_device(batch, fd_iters)
         fused_device_fps = _fused_device(dev_batch, fd_iters)
+
+        # fused_device_fps_nobox: the same fused program with confidence
+        # above any possible score, so NMS keeps nothing and the mosaic
+        # kernel skips every box. Random-init weights make the default
+        # fused_device_fps a WORST-CASE mosaic load (max_detections giant
+        # boxes per frame); this variant pins the opposite bound — the
+        # detect + device-letterbox floor. Production sits between the
+        # two, near this bound: the kernel's measured typical-load cost is
+        # ~44 us/frame (benchmarks/mosaic_bench.py typical_faces).
+        if os.environ.get("BENCH_FUSED_NOBOX", "1") == "1":
+            face_nb = Retinaface(
+                model_path=None,
+                backbone="resnet50",
+                input_shape=[640, 640, 3],
+                confidence=2.0,
+                nms_iou=0.4,
+                max_detections=16,
+                dtype=jnp.bfloat16,
+            )
+            plate_nb = PlateDetector(
+                model_path=None,
+                variant="n",
+                confidence=2.0,
+                input_shape=(640, 640),
+                max_detections=8,
+                dtype=jnp.bfloat16,
+            )
+            engine_nb = DesensitizationEngine(face_nb, plate_nb, mosaic_level=8)
+            fr = jnp.asarray(
+                np.concatenate(
+                    [frames] * int(np.ceil(dev_batch / frames.shape[0]))
+                )[:dev_batch].reshape(dev_batch, frames.shape[1], -1)
+            )
+            sh = jnp.asarray(
+                np.tile(np.array([[1080.0, 1920.0]], np.float32), (dev_batch, 1))
+            )
+            nb_vars = (face_nb.variables, plate_nb.variables)
+            out = engine_nb._program(nb_vars[0], nb_vars[1], fr, sh)
+            np.asarray(out[2][:1])  # compile + warm
+            t0 = time.perf_counter()
+            outs = [
+                engine_nb._program(nb_vars[0], nb_vars[1], fr, sh)
+                for _ in range(fd_iters)
+            ]
+            for o in outs:
+                np.asarray(o[2][:1])
+            fused_device_fps_nobox = fd_iters * dev_batch / (
+                time.perf_counter() - t0
+            )
 
     # ---- link weather: h2d bandwidth probe. The e2e windows swing with the
     # host->chip link (tunneled here); recording the link rate alongside
@@ -298,6 +354,11 @@ def main() -> None:
                 "fused_device_fps_b%d" % batch: (
                     round(fused_device_fps_small, 2)
                     if fused_device_fps_small
+                    else None
+                ),
+                "fused_device_fps_nobox": (
+                    round(fused_device_fps_nobox, 2)
+                    if fused_device_fps_nobox
                     else None
                 ),
                 "link_h2d_mbps": (

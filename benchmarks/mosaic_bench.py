@@ -57,29 +57,41 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="also capture a jax.profiler trace of the FIRST load into DIR "
+        "and print the top ops via profile_device.analyze",
+    )
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from video_desensitization_tpu.ops.pallas_mosaic import (
-        mosaic_boxes_batch_pallas,
+        mosaic_boxes_batch_pallas_flat,
     )
 
     b = args.batch
     rng = np.random.default_rng(0)
+    # Bench the flat (B, H, W*3) entry — the form the fused engine feeds the
+    # kernel. Benching the 4D convenience wrapper under its own jit instead
+    # measures mostly XLA layout copies at the jit boundary (profiled 66% of
+    # self time at typical_faces load: four full-frame copies vs 26% kernel).
     frames = jnp.asarray(
-        rng.integers(0, 255, (b, 1080, 1920, 3), dtype=np.uint8)
+        rng.integers(0, 255, (b, 1080, 1920 * 3), dtype=np.uint8)
     )
-    fn = jax.jit(mosaic_boxes_batch_pallas, static_argnames=("level",))
+    fn = jax.jit(
+        lambda fr, bx, va: mosaic_boxes_batch_pallas_flat(fr, bx, va, 1920, 8)
+    )
 
     for name, k, hw in LOADS:
         boxes = jnp.asarray(make_boxes(b, k, hw))
         valid = jnp.ones((b, k), bool)
-        out = fn(frames, boxes, valid, level=8)
+        out = fn(frames, boxes, valid)
         np.asarray(out[0, :1, :1])  # compile + warm; sync via tiny fetch
         t0 = time.perf_counter()
-        outs = [fn(frames, boxes, valid, level=8) for _ in range(args.iters)]
+        outs = [fn(frames, boxes, valid) for _ in range(args.iters)]
         for o in outs:
             np.asarray(o[0, :1, :1])
         dt = time.perf_counter() - t0
@@ -95,6 +107,27 @@ def main():
                 }
             )
         )
+        if args.profile and name == LOADS[0][0]:
+            with jax.profiler.trace(args.profile):
+                outs = [
+                    fn(frames, boxes, valid)
+                    for _ in range(args.iters)
+                ]
+                for o in outs:
+                    np.asarray(o[0, :1, :1])
+            from profile_device import analyze
+
+            cols, rows = analyze(args.profile)
+            for r in rows:
+                r["_t"] = float(r.get("Total self time (us)") or 0)
+            rows.sort(key=lambda r: -r["_t"])
+            total = sum(r["_t"] for r in rows) or 1.0
+            for r in rows[:15]:
+                print(
+                    f"{r['_t']:12.0f}us {100 * r['_t'] / total:5.1f}% "
+                    f"{r.get('HLO op category')} / "
+                    f"{str(r.get('HLO op name'))[:60]}"
+                )
 
 
 if __name__ == "__main__":

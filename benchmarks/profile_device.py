@@ -62,7 +62,8 @@ def build_engine(batch: int):
     engine = DesensitizationEngine(face, plate)
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (batch, 1080, 1920, 3), dtype=np.uint8)
-    fr = jnp.asarray(frames)
+    # engine programs take channel-interleaved flat (B, H, W*3) rows
+    fr = jnp.asarray(frames.reshape(batch, 1080, 1920 * 3))
     sh = jnp.asarray(np.tile(np.array([[1080.0, 1920.0]], np.float32), (batch, 1)))
     return engine, face, plate, fr, sh
 

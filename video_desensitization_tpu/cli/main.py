@@ -73,7 +73,7 @@ def probe_link_gib_s(size_mb: int = 32, reps: int = 2) -> float:
 probe_link_gbps = probe_link_gib_s
 
 # engine=auto threshold, GiB/s — derived from MEASURED chip-side rates
-# (bench.py fused_device_fps, r3). The fused program sustains 443 fps
+# (bench.py fused_device_fps, r3). The fused program sustains 466 fps
 # pipelined at batch 128 with frames device-resident — a worst-case bound
 # (random-weight giant boxes; real footage's few small boxes cost the gated
 # kernel ~0.5 ms/frame, benchmarks/mosaic_bench.py). The tiered path's
@@ -84,7 +84,7 @@ probe_link_gbps = probe_link_gib_s
 # alone and cannot tell full- from half-duplex: on a half-duplex link a
 # 4 GiB/s probe means only ~4.3 GB/s aggregate -> ~170 fps fused, a LOSS.
 # At 6 GiB/s even the half-duplex case sustains >= 520 fps of frame
-# traffic, above the 443 fps chip bound — fused cannot lose there.
+# traffic, above the 466 fps chip bound — fused cannot lose there.
 AUTO_ENGINE_FUSED_GIB_S = 6.0
 
 

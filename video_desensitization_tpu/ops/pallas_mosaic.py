@@ -267,8 +267,34 @@ def mosaic_boxes_batch_pallas(
     b, h, w, c = frames.shape
     if c != 3 or not pallas_mosaic_supported(h, w, level):
         return mosaic_boxes_batch(frames, boxes, valid, level)
+    out = mosaic_boxes_batch_pallas_flat(
+        frames.reshape(b, h, w * 3), boxes, valid, w, level, interpret=interpret
+    )
+    return out.reshape(b, h, w, 3)
+
+
+def mosaic_boxes_batch_pallas_flat(
+    flat: jax.Array,
+    boxes: jax.Array,
+    valid: jax.Array,
+    width: int,
+    level: int = DEFAULT_MOSAIC_LEVEL,
+    interpret: bool = False,
+) -> jax.Array:
+    """Same kernel over channel-interleaved (B, H, W*3) uint8 rows.
+
+    The flat form is the kernel's native operand layout (row-major
+    {2,1,0}); keeping the surrounding jitted program in this shape lets
+    XLA's layout assignment satisfy the custom call's operand constraint at
+    the program entry instead of inserting full-frame layout copies around
+    the call (profiled 5 x ~790 MB copies per batch-128 iteration,
+    benchmarks/profiles/r3b). Callers must ensure
+    ``pallas_mosaic_supported(H, width)`` themselves.
+    """
+    b, h, w3 = flat.shape
+    w = width
+    assert w3 == 3 * w, (w3, w)
     k = boxes.shape[1]
-    w3 = w * 3
     maxdim = max(h, w)
     table = jnp.asarray(composed_mosaic_table(level, maxdim), jnp.int32)
 
@@ -330,7 +356,6 @@ def mosaic_boxes_batch_pallas(
         .astype(jnp.float32)
     )
 
-    flat = frames.reshape(b, h, w3)
     kernel = functools.partial(_mosaic_kernel, height=h, width=w)
     out = pl.pallas_call(
         kernel,
@@ -351,4 +376,4 @@ def mosaic_boxes_batch_pallas(
         ],
         interpret=interpret,
     )(cboxes, ysrc, csrc, flat)
-    return out.reshape(b, h, w, 3)
+    return out

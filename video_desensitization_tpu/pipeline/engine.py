@@ -93,7 +93,23 @@ class DesensitizationEngine:
         else:
             mosaic_fn = mosaic_boxes_batch
 
-        def program(face_vars, plate_vars, frames_u8, image_shapes):
+        pallas_flat = None
+        if self.mosaic_backend == "pallas" and self.anonymizer != "gaussian":
+            from video_desensitization_tpu.ops.pallas_mosaic import (
+                mosaic_boxes_batch_pallas_flat,
+                pallas_mosaic_supported,
+            )
+
+            pallas_flat = (mosaic_boxes_batch_pallas_flat, pallas_mosaic_supported)
+
+        def program(face_vars, plate_vars, frames_flat, image_shapes):
+            # frames_flat: (B, H, W*3) channel-interleaved uint8. The flat
+            # shape is the Pallas mosaic's native row-major operand layout;
+            # tracing the whole program in it keeps XLA from inserting
+            # full-frame layout copies around the kernel (profiles/r3b).
+            b, h, w3 = frames_flat.shape
+            w = w3 // 3
+            frames_u8 = frames_flat.reshape(b, h, w, 3)
             face_dets, face_px, face_keep = face._detect_program(
                 face_vars, frames_u8, image_shapes
             )
@@ -109,7 +125,12 @@ class DesensitizationEngine:
                 plate_px = jnp.zeros((frames_u8.shape[0], 1, 6), jnp.float32)
                 plate_keep = jnp.zeros((frames_u8.shape[0], 1), bool)
                 boxes, valid = fboxes, face_keep
-            blurred = mosaic_fn(frames_u8, boxes, valid, level)
+            if pallas_flat is not None and pallas_flat[1](h, w, level):
+                blurred = pallas_flat[0](frames_flat, boxes, valid, w, level)
+            else:
+                blurred = mosaic_fn(frames_u8, boxes, valid, level).reshape(
+                    b, h, w3
+                )
             return blurred, face_px, face_keep, plate_px, plate_keep
 
         return program
@@ -122,13 +143,16 @@ class DesensitizationEngine:
         if image_shapes is None:
             image_shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
         orig_b = b
-        frames_in, shapes_in = frames, image_shapes
+        # Host-side reshape to the program's channel-interleaved flat form is
+        # a free numpy view (C-contiguous input).
+        frames_in = np.ascontiguousarray(frames).reshape(b, h, w * 3)
+        shapes_in = image_shapes
         if self.mesh is not None:
             n = self.mesh.devices.size
-            frames_in, _ = pad_batch_to_devices(frames, n)
+            frames_in, _ = pad_batch_to_devices(frames_in, n)
             shapes_in, _ = pad_batch_to_devices(image_shapes, n)
             frames_in = jax.device_put(
-                frames_in, batch_sharding(self.mesh, 4)
+                frames_in, batch_sharding(self.mesh, 3)
             )
             shapes_in = jax.device_put(shapes_in, batch_sharding(self.mesh, 2))
 
@@ -136,7 +160,7 @@ class DesensitizationEngine:
         blurred, face_px, face_keep, plate_px, plate_keep = self._program(
             self.face.variables, plate_vars, jnp.asarray(frames_in), jnp.asarray(shapes_in)
         )
-        blurred = np.asarray(blurred)[:orig_b]
+        blurred = np.asarray(blurred)[:orig_b].reshape(orig_b, h, w, 3)
         face_px = np.asarray(face_px)[:orig_b]
         face_keep = np.asarray(face_keep)[:orig_b]
         plate_px = np.asarray(plate_px)[:orig_b]
