@@ -37,18 +37,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_matches_single_process(tmp_path):
-    ref = tmp_path / "ref.npz"
-    r = subprocess.run(
-        [sys.executable, WORKER, "--mode", "reference", "--out", str(ref)],
-        env=_env(),
-        capture_output=True,
-        text=True,
-        timeout=900,
-    )
-    assert r.returncode == 0, f"reference run failed:\n{r.stdout}\n{r.stderr}"
-    assert ref.exists()
-
+def _run_workers(ref):
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -82,6 +71,29 @@ def test_two_process_distributed_matches_single_process(tmp_path):
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed (rc={p.returncode}):\n{out}"
+    return [p.returncode for p in procs], outs
+
+
+def test_two_process_distributed_matches_single_process(tmp_path):
+    ref = tmp_path / "ref.npz"
+    r = subprocess.run(
+        [sys.executable, WORKER, "--mode", "reference", "--out", str(ref)],
+        env=_env(),
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, f"reference run failed:\n{r.stdout}\n{r.stderr}"
+    assert ref.exists()
+
+    rcs, outs = _run_workers(ref)
+    if any(rc != 0 for rc in rcs) and not any("compare FAILED" in o for o in outs):
+        # Coordination-service barrier/heartbeat timeouts happen when the
+        # host is heavily loaded (two fresh interpreters compiling in
+        # lockstep can skew past the service's fixed barrier deadline).
+        # That is test-infrastructure weather, not a sharding bug: retry
+        # once. A numeric mismatch ("compare FAILED") is never retried.
+        rcs, outs = _run_workers(ref)
+    for i, (rc, out) in enumerate(zip(rcs, outs)):
+        assert rc == 0, f"worker {i} failed (rc={rc}):\n{out}"
     assert "compare ok" in outs[0], outs[0]
