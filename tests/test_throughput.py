@@ -112,6 +112,24 @@ def test_stream_equals_batch(pipe):
         assert res_s.plate_boxes == res_b.plate_boxes
 
 
+def test_stream_transfer_pool_equals_serial(pipe):
+    # transfer_workers>0 routes puts through the concurrent transfer pool
+    # (off by default — measured slower on the tunneled chip, but supported
+    # for PCIe-class hosts); results must be identical either way.
+    rng = np.random.default_rng(0)
+    batches = [
+        rng.integers(0, 255, (2, 96, 160, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    serial = list(pipe.process_stream(iter(batches), depth=2))
+    pooled = list(
+        pipe.process_stream(iter(batches), depth=2, transfer_workers=2)
+    )
+    for res_s, res_p in zip(serial, pooled):
+        np.testing.assert_array_equal(res_s.frames, res_p.frames)
+        assert res_s.face_boxes == res_p.face_boxes
+        assert res_s.plate_boxes == res_p.plate_boxes
+
+
 def test_mosaic_matches_reference_kernel(pipe):
     rng = np.random.default_rng(1)
     frames = rng.integers(0, 255, (2, 96, 160, 3), dtype=np.uint8)

@@ -49,6 +49,18 @@ from video_desensitization_tpu.ops.mosaic import mosaic_host_inplace
 # 1080p) until finalize — peak ≈ (prefetch + depth + 2) × batch bytes.
 DEFAULT_STREAM_DEPTH = 5
 
+# Concurrent host->device copies in process_stream's transfer pool. In
+# ISOLATION 3 concurrent synced copies beat a serial async-put stream 38 vs
+# 33 MB/s on the tunneled chip (11 MB transfers — the batch-32 yuv420
+# size). IN the pipeline the pool LOSES: interleaved weather-matched A/B at
+# batch 32 measured tw=0 > tw=3 in all three matched pairs (53.5/38.8/53.6
+# vs 39.2/14.5/41.1 fps) — each worker's completion sync is a d2h fetch
+# that contends with the in-flight program stream, delaying dispatches by
+# more than the copy overlap saves. Default stays 0 (serial puts inside
+# the dispatch thread); the option remains for PCIe-class hosts where a
+# sync is cheap. (Same A/B: batch 64 also lost to 32, 13-29 vs 39-54 fps.)
+DEFAULT_TRANSFER_WORKERS = 0
+
 
 @dataclasses.dataclass
 class TieredResult:
@@ -256,9 +268,12 @@ class TieredPipeline:
             )
         )
 
-    def dispatch(self, lb_frames: np.ndarray, image_shapes: np.ndarray):
+    def dispatch(self, lb_frames, image_shapes: np.ndarray):
         """Async: enqueue transfer + device program; returns a device future
-        (ONE packed output array — see _build_program)."""
+        (ONE packed output array — see _build_program).
+
+        ``lb_frames`` may be a host array (transferred here) or an already
+        device-resident array (see the transfer stage in process_stream)."""
         from video_desensitization_tpu.ops.image import letterbox_geometry
 
         plate_vars = self.plate.variables if self.plate is not None else None
@@ -316,15 +331,23 @@ class TieredPipeline:
 
     # -- pipelined stream -------------------------------------------------
     def process_stream(
-        self, batches: Iterable[np.ndarray], depth: int = DEFAULT_STREAM_DEPTH
+        self,
+        batches: Iterable[np.ndarray],
+        depth: int = DEFAULT_STREAM_DEPTH,
+        transfer_workers: int = DEFAULT_TRANSFER_WORKERS,
     ) -> Iterator[TieredResult]:
-        """Pipeline an iterable of uint8 NHWC batches through three
-        overlapped stages:
+        """Pipeline an iterable of uint8 NHWC batches through overlapped
+        stages:
 
           main thread    : letterbox batch N+1 (cv2 pool, GIL released)
-          dispatch thread: host->device transfer + program enqueue of batch N
-                           (the h2d copy blocks with the GIL released, so it
-                           runs concurrently with the next letterbox)
+          transfer pool  : (``transfer_workers`` > 0 only) host->device copy
+                           of up to that many batches CONCURRENTLY, each
+                           synced on completion. Measured a net LOSS on the
+                           tunneled chip (see DEFAULT_TRANSFER_WORKERS) —
+                           off by default; available for hosts where a
+                           completion sync doesn't fight the program stream.
+          dispatch thread: host->device transfer (when the pool is off) +
+                           program enqueue of batch N, in order
           finalize thread: device fetch + host mosaic of batch N-1
 
         Keeps up to ``depth`` batches in flight at each stage boundary;
@@ -336,7 +359,19 @@ class TieredPipeline:
         work_q: "_queue.Queue" = _queue.Queue(maxsize=depth)
         out_q: "_queue.Queue" = _queue.Queue()
         finalizer = ThreadPoolExecutor(max_workers=1)
+        xfer = (
+            ThreadPoolExecutor(max_workers=transfer_workers)
+            if transfer_workers > 0
+            else None
+        )
         _DONE = object()
+
+        def _put_synced(lb: np.ndarray):
+            x = jax.device_put(lb)
+            np.asarray(x[:1])  # force the copy (block_until_ready unreliable
+            # on the axon platform); syncing INSIDE the pool is what lets the
+            # next transfer overlap this one's round trip.
+            return x
 
         def dispatcher():
             try:
@@ -346,6 +381,8 @@ class TieredPipeline:
                         out_q.put(_DONE)
                         return
                     frames, lb, shapes = item
+                    if xfer is not None:
+                        lb = lb.result()  # device array from the transfer pool
                     fut = self.dispatch(lb, shapes)
                     out_q.put(finalizer.submit(self.finalize, frames, fut))
             except BaseException as e:  # noqa: BLE001
@@ -369,7 +406,8 @@ class TieredPipeline:
                 b, h, w, _ = frames.shape
                 shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
                 lb = self.letterbox_batch(frames)
-                work_q.put((frames, lb, shapes))
+                lb_item = xfer.submit(_put_synced, lb) if xfer else lb
+                work_q.put((frames, lb_item, shapes))
                 in_flight += 1
                 if in_flight > depth:
                     yield _drain_one()
@@ -386,3 +424,5 @@ class TieredPipeline:
             except _queue.Full:
                 pass
             finalizer.shutdown(wait=False)
+            if xfer is not None:
+                xfer.shutdown(wait=False)
