@@ -99,3 +99,24 @@ def test_nms_jit_compatible():
     want = greedy_nms_numpy(dets, 0.5, 0.45)
     got = np.asarray(got)[np.asarray(keep)]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_nms_deep_suppression_chain():
+    # Adversarial case for the Jacobi-fixpoint formulation: a chain where
+    # box i overlaps only box i+1 (IoU ~0.54 > thr; skip-one IoU 0.25 < thr)
+    # with scores descending. Greedy keeps the even-indexed boxes; the
+    # fixpoint needs ~N/2 rounds (maximum chain depth) to converge, so this
+    # pins termination + exactness at the sequential-dependency worst case.
+    n = 64
+    dets = np.zeros((n, 15), np.float32)
+    for i in range(n):
+        dets[i, :4] = [i * 30.0, 0.0, i * 30.0 + 100.0, 100.0]
+        dets[i, 4] = 1.0 - i * 1e-3
+    want = greedy_nms_numpy(dets, 0.5, 0.45)
+    got, keep = nms_padded(jnp.asarray(dets), 0.5, 0.45, top_k=n)
+    keep = np.asarray(keep)
+    assert int(keep.sum()) == n // 2
+    assert np.array_equal(np.flatnonzero(keep), np.arange(0, n, 2))
+    np.testing.assert_allclose(
+        np.asarray(got)[keep], want, rtol=1e-5, atol=1e-5
+    )

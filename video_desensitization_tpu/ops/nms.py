@@ -7,15 +7,16 @@ numerics-equivalent fixed-shape formulation:
 
 1. score threshold -> validity mask (no compaction),
 2. ``lax.top_k`` selects the K highest-scoring candidates (K static),
-3. greedy suppression over the (K, K) IoU matrix via ``lax.fori_loop``:
-   candidate i is kept iff it is valid and not suppressed by a kept,
-   higher-scoring candidate with IoU > threshold (torchvision uses a strict
-   ``>`` comparison, preserved here).
+3. greedy suppression over the (K, K) IoU matrix: candidate i is kept iff
+   it is valid and not suppressed by a kept, higher-scoring candidate with
+   IoU > threshold (torchvision uses a strict ``>`` comparison, preserved
+   here), computed as a Jacobi fixpoint of the triangular keep recurrence —
+   a few vectorized (K, K) rounds with early exit instead of K sequential
+   loop steps (see nms_padded body).
 
 Outputs are padded (K, 15) detections sorted by score plus a boolean keep
-mask — the standard TPU "padded + mask" idiom. For K in the hundreds the
-suppression loop is a few hundred cheap VPU steps on a K-vector, fully inside
-the jitted program (no host sync).
+mask — the standard TPU "padded + mask" idiom, fully inside the jitted
+program (no host sync).
 """
 
 from __future__ import annotations
@@ -52,20 +53,38 @@ def nms_padded(
 
     iou = pairwise_iou(dets[:, :4], dets[:, :4])  # (K, K)
 
-    def body(i, state):
-        keep, suppressed = state
-        keep_i = jnp.logical_and(valid[i], jnp.logical_not(suppressed[i]))
-        keep = keep.at[i].set(keep_i)
-        # Suppress strictly lower-ranked candidates overlapping > threshold.
-        later = jnp.arange(k) > i
-        suppressed = jnp.logical_or(
-            suppressed, jnp.logical_and(keep_i, jnp.logical_and(later, iou[i] > iou_thres))
-        )
-        return keep, suppressed
+    # Greedy NMS as a FIXPOINT, not a K-step sequential scan. The greedy
+    # keep vector is the unique solution of the triangular recurrence
+    #   keep[i] = valid[i] and not any(j < i, keep[j], iou[j, i] > thr)
+    # (unique by strong induction on i), so Jacobi-iterating that equation
+    # from keep = valid converges to EXACTLY the greedy result — after t
+    # rounds every candidate whose suppression-chain depth is <= t is
+    # final, and any state with keep == prev is a fixpoint and therefore
+    # the greedy answer. Round count = chain depth + 1 (a handful in
+    # practice) and each round is one vectorized (K, K) masked reduce,
+    # vs K sequential fori_loop steps — ~20x fewer TPU loop trips at
+    # K=256 (profiled: the two sequential NMS loops were 3.4% of the
+    # fused program, benchmarks/profiles/r3c). torchvision's strict ``>``
+    # comparison is preserved; the K-round bound guarantees termination.
+    sup_mat = jnp.logical_and(
+        iou > iou_thres,
+        jnp.arange(k)[:, None] < jnp.arange(k)[None, :],
+    )  # sup_mat[j, i]: kept j would suppress lower-ranked i
 
-    keep0 = jnp.zeros((k,), dtype=bool)
-    sup0 = jnp.zeros((k,), dtype=bool)
-    keep, _ = jax.lax.fori_loop(0, k, body, (keep0, sup0))
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(it < k, jnp.any(keep != prev))
+
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(
+            jnp.logical_and(sup_mat, keep[:, None]), axis=0
+        )
+        return jnp.logical_and(valid, jnp.logical_not(suppressed)), keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.logical_not(valid), jnp.int32(0))
+    )
 
     # Zero out padded rows so downstream consumers can sum scores/boxes safely.
     dets = jnp.where(keep[:, None], dets, jnp.zeros_like(dets))
