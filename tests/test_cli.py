@@ -63,6 +63,34 @@ def test_cli_video_mode(tmp_path):
         assert sum(1 for _ in dec) == 8
 
 
+@needs_native
+def test_stream_encode_kwargs_override(tmp_path):
+    """encode_kwargs (config encode_preset/encode_bitrate) reach the libx265
+    writer: the ultrafast output still round-trips with every frame."""
+    from video_desensitization_tpu.api.config import load_config
+    from video_desensitization_tpu.cli.main import build_engine
+    from video_desensitization_tpu.pipeline.streaming import (
+        process_video_stream,
+    )
+
+    cfg = load_config(_tiny_config(tmp_path), strict=False)
+    engine = build_engine(cfg, with_plates=False)
+    rng = np.random.default_rng(3)
+    src = str(tmp_path / "in.h265")
+    with VideoEncoder(src, 160, 96, fps=10, codec="libx265",
+                      bitrate=200000, preset="ultrafast") as e:
+        for i in range(6):
+            e.write(rng.integers(0, 255, (96, 160, 3), dtype=np.uint8))
+    out = str(tmp_path / "out.h265")
+    stats = process_video_stream(
+        src, out, engine, batch_size=4,
+        encode_kwargs={"preset": "ultrafast", "bitrate": 500_000},
+    )
+    assert stats.frames == 6
+    with VideoDecoder(out) as dec:
+        assert sum(1 for _ in dec) == 6
+
+
 def test_cli_images_mode(tmp_path):
     import cv2
 

@@ -74,6 +74,25 @@ def test_config_engine_and_resume_keys(tmp_path):
     assert PipelineConfig().transfer == "rgb"
 
 
+def test_config_encode_settings(tmp_path):
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        "[PATHS]\nmodel_path=a\nmodel_weights=b\nrecord_dir=c\n"
+        "output_h265_dir=d\noutput_videos_dir=e\ntemp_directory_base=f\n"
+        "record_output_dir=g\n"
+        "[SETTINGS]\nencode_preset=ultrafast\nencode_bitrate=2000000\n"
+    )
+    cfg = load_config(str(ini))
+    assert cfg.encode_preset == "ultrafast"
+    assert cfg.encode_bitrate == 2_000_000
+    assert cfg.encode_kwargs == {"preset": "ultrafast", "bitrate": 2_000_000}
+    # Defaults are the reference repack parameters (SURVEY C2).
+    assert PipelineConfig().encode_kwargs == {
+        "preset": "medium",
+        "bitrate": 10_000_000,
+    }
+
+
 def test_stage_timer_accumulates_and_reports():
     import time
 

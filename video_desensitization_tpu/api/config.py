@@ -67,6 +67,20 @@ class PipelineConfig:
     co_batch: bool = False
     # "mosaic" (reference pixelation, bit-exact) or "gaussian" (softer blur).
     anonymizer: str = "mosaic"
+    # Processed-video H.265 encode settings. Defaults are the reference's
+    # repack parameters (10 Mbps / preset medium, recordDeal.so strings —
+    # SURVEY C2); the repack stage remuxes .h265 outputs without
+    # re-encoding, so these settings ARE the final record payload quality.
+    # libx265 at medium is the record job's tail on few-core hosts
+    # (~0.7 fps/core at 1080p) — drop to "fast"/"ultrafast" when encode
+    # throughput matters more than bitrate efficiency.
+    encode_preset: str = "medium"
+    encode_bitrate: int = 10_000_000
+
+    @property
+    def encode_kwargs(self) -> dict:
+        """Encoder overrides for the libx265 processed-video writers."""
+        return {"preset": self.encode_preset, "bitrate": self.encode_bitrate}
 
 
 def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig:
@@ -93,6 +107,8 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
         cfg.cleanup_temp = s.getboolean("cleanup_temp", True)
         cfg.copy_unprocessed_videos = s.getboolean("copy_unprocessed_videos", True)
         cfg.batch_size = s.getint("batch_size", 16)
+        cfg.encode_preset = s.get("encode_preset", cfg.encode_preset)
+        cfg.encode_bitrate = s.getint("encode_bitrate", cfg.encode_bitrate)
 
     if "TPU" in parser:
         t = parser["TPU"]

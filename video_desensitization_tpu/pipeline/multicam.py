@@ -68,12 +68,14 @@ def process_videos_cobatched(
     codec: Optional[str] = None,
     queue_depth: int = 64,
     inflight: int = DEFAULT_STREAM_DEPTH,
+    encode_kwargs: Optional[dict] = None,
 ) -> Dict[str, CameraStats]:
     """Desensitize many videos through one shared device batch stream.
 
     jobs: {camera_name: (input_path, output_path)}. Returns per-camera
     stats. Encoder codec defaults per output extension
-    (video.av.default_codec_for).
+    (video.av.default_codec_for). ``encode_kwargs`` overrides the libx265
+    writers' preset/bitrate (default: reference repack settings).
     """
     log = get_logger("multicam")
     frame_q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
@@ -113,6 +115,8 @@ def process_videos_cobatched(
                     h, w = item.shape[:2]
                     c = codec or default_codec_for(out_path)
                     kwargs = dict(HEVC_DEFAULTS) if c == "libx265" else {}
+                    if c == "libx265" and encode_kwargs:
+                        kwargs.update(encode_kwargs)
                     kwargs["codec"] = c
                     enc = VideoEncoder(
                         out_path, w, h, fps=fps or meta[cam]["fps"], **kwargs

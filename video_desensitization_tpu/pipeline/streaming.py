@@ -56,8 +56,13 @@ def process_video_stream(
     # the measured depth win came from the device-stage queue, not here.
     # Peak RAM ≈ (prefetch_depth + DEFAULT_STREAM_DEPTH + 2) × batch bytes.
     prefetch_depth: int = 3,
+    encode_kwargs: Optional[dict] = None,
 ) -> StreamStats:
-    """Desensitize one video file end to end."""
+    """Desensitize one video file end to end.
+
+    encode_kwargs: libx265 encoder overrides (preset/bitrate) for the
+    output writer; defaults to the reference repack settings
+    (video.av.HEVC_DEFAULTS). Ignored for non-HEVC output codecs."""
     log = get_logger("stream")
     stats = StreamStats()
     t0 = time.time()
@@ -99,6 +104,8 @@ def process_video_stream(
                 if enc is None:
                     h, w = item.shape[1:3]
                     kwargs = dict(HEVC_DEFAULTS) if codec == "libx265" else {}
+                    if codec == "libx265" and encode_kwargs:
+                        kwargs.update(encode_kwargs)
                     kwargs["codec"] = codec
                     enc = VideoEncoder(output_path, w, h, fps=out_fps, **kwargs)
                     encoder_holder["enc"] = enc

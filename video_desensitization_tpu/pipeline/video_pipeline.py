@@ -36,6 +36,7 @@ def process_single_video(
     batch_size: int = 16,
     output_fps: Optional[float] = None,
     output_ext: Optional[str] = None,
+    encode_kwargs: Optional[dict] = None,
 ) -> VideoResult:
     """Desensitize one video; output named <name>_processed.<ext>
     (reference combine_detect.py:658 naming)."""
@@ -47,7 +48,8 @@ def process_single_video(
     t0 = time.time()
     try:
         stats = process_video_stream(
-            video_path, out_path, engine, batch_size=batch_size, fps=output_fps
+            video_path, out_path, engine, batch_size=batch_size,
+            fps=output_fps, encode_kwargs=encode_kwargs,
         )
     except Exception as e:  # noqa: BLE001
         log.error("failed on %s: %s", video_path, e)
@@ -187,7 +189,8 @@ def process_record_job(
                     ),
                 )
         cam_stats = process_videos_cobatched(
-            jobs, engine, batch_size=config.batch_size, fps=config.output_fps
+            jobs, engine, batch_size=config.batch_size, fps=config.output_fps,
+            encode_kwargs=getattr(config, "encode_kwargs", None),
         )
         for name, cs in cam_stats.items():
             if cs.error:
@@ -229,6 +232,7 @@ def process_record_job(
                     engine,
                     batch_size=config.batch_size,
                     output_fps=config.output_fps,
+                    encode_kwargs=getattr(config, "encode_kwargs", None),
                 )
                 if res.success:
                     stats.videos_processed += 1
