@@ -233,7 +233,10 @@ def main() -> None:
         # the realistic engine=fused number that `engine=auto` extrapolates
         # to above its bandwidth threshold (cli/main.py pick_engine). The
         # tunnel-bound fused_fps above mostly measures this host's link.
-        def _fused_device(bsz, iters):
+        def _fused_device(bsz, iters, eng=None, fvars=None, pvars=None):
+            eng = eng or engine
+            fvars = face.variables if fvars is None else fvars
+            pvars = plate_vars if pvars is None else pvars
             reps = int(np.ceil(bsz / frames.shape[0]))
             stack = np.concatenate([frames] * reps)[:bsz]
             # engine programs take channel-interleaved flat (B, H, W*3) rows
@@ -241,12 +244,11 @@ def main() -> None:
             sh = jnp.asarray(
                 np.tile(np.array([[1080.0, 1920.0]], np.float32), (bsz, 1))
             )
-            out = engine._program(face.variables, plate_vars, fr, sh)
+            out = eng._program(fvars, pvars, fr, sh)
             np.asarray(out[2][:1])  # compile + warm; sync via a small output
             t0 = time.perf_counter()
             outs = [
-                engine._program(face.variables, plate_vars, fr, sh)
-                for _ in range(iters)
+                eng._program(fvars, pvars, fr, sh) for _ in range(iters)
             ]
             for o in outs:  # one sync after all dispatches are queued
                 np.asarray(o[2][:1])
@@ -283,26 +285,12 @@ def main() -> None:
                 dtype=jnp.bfloat16,
             )
             engine_nb = DesensitizationEngine(face_nb, plate_nb, mosaic_level=8)
-            fr = jnp.asarray(
-                np.concatenate(
-                    [frames] * int(np.ceil(dev_batch / frames.shape[0]))
-                )[:dev_batch].reshape(dev_batch, frames.shape[1], -1)
-            )
-            sh = jnp.asarray(
-                np.tile(np.array([[1080.0, 1920.0]], np.float32), (dev_batch, 1))
-            )
-            nb_vars = (face_nb.variables, plate_nb.variables)
-            out = engine_nb._program(nb_vars[0], nb_vars[1], fr, sh)
-            np.asarray(out[2][:1])  # compile + warm
-            t0 = time.perf_counter()
-            outs = [
-                engine_nb._program(nb_vars[0], nb_vars[1], fr, sh)
-                for _ in range(fd_iters)
-            ]
-            for o in outs:
-                np.asarray(o[2][:1])
-            fused_device_fps_nobox = fd_iters * dev_batch / (
-                time.perf_counter() - t0
+            fused_device_fps_nobox = _fused_device(
+                dev_batch,
+                fd_iters,
+                eng=engine_nb,
+                fvars=face_nb.variables,
+                pvars=plate_nb.variables,
             )
 
     # ---- link weather: h2d bandwidth probe. The e2e windows swing with the

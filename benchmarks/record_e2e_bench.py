@@ -106,6 +106,14 @@ def main() -> None:
     )
     from video_desensitization_tpu.record.unpack import read_record2h265_all
 
+    from video_desensitization_tpu.record.topics import CAMERA_TOPICS
+
+    if not 1 <= args.cams <= len(CAMERA_TOPICS):
+        ap.error(
+            f"--cams must be 1..{len(CAMERA_TOPICS)} (the Apollo camera "
+            f"topic registry has {len(CAMERA_TOPICS)} topics)"
+        )
+
     root = tempfile.mkdtemp(prefix="vdt_record_bench_")
     try:
         t0 = time.perf_counter()

@@ -76,7 +76,8 @@ probe_link_gbps = probe_link_gib_s
 # (bench.py fused_device_fps, r3). The fused program sustains 466 fps
 # pipelined at batch 128 with frames device-resident — a worst-case bound
 # (random-weight giant boxes; real footage's few small boxes cost the gated
-# kernel ~0.5 ms/frame, benchmarks/mosaic_bench.py). The tiered path's
+# kernel ~44 us/frame, benchmarks/mosaic_bench.py typical_faces). The tiered
+# path's
 # host-stage ceiling is ~300 fps/batch-32 on a modest host
 # (stage_breakdown.py: letterbox 56 ms + mosaic 50 ms per batch). Fused
 # must move raw 1080p frames BOTH ways (~12.4 MB/frame), so beating tiered
@@ -224,7 +225,8 @@ def _run_job(args, cfg, engine, log) -> None:
 
         out = args.out or args.video.rsplit(".", 1)[0] + "_processed.mp4"
         stats = process_video_stream(
-            args.video, out, engine, batch_size=cfg.batch_size
+            args.video, out, engine, batch_size=cfg.batch_size,
+            encode_kwargs=getattr(cfg, "encode_kwargs", None),
         )
         log.info(
             "done: %d frames, %d faces, %d plates, %.1f fps end-to-end",

@@ -615,6 +615,7 @@ class DesensitizationService:
             self.engine,
             batch_size=self.pcfg.batch_size,
             output_fps=self.pcfg.output_fps,
+            encode_kwargs=getattr(self.pcfg, "encode_kwargs", None),
         )
         if not res.success:
             raise RuntimeError(f"video pipeline failed for {job.name}")
