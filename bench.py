@@ -13,7 +13,8 @@ Prints ONE JSON line:
      "best_fps": N, "windows": [...], "device_fps": N, "device_batch": N,
      "device_fps_sync_b<B>": N, "flops_per_frame": N, "mfu": N,
      "fused_fps": N, "fused_device_fps": N, "fused_device_fps_b<B>": N,
-     "fused_device_fps_nobox": N, "link_h2d_mbps": N}
+     "fused_device_fps_nobox": N, "fused_device_fps_typical": N,
+     "typical_conf": [f, p], "link_h2d_mbps": N}
 
 (`benchmarks/stage_breakdown.py` decomposes one e2e cycle per stage.)
 
@@ -35,8 +36,12 @@ device-resident frames (what a PCIe-class host would see chip-side, the
 number engine=auto's threshold extrapolates from). Random-init weights
 make that a WORST-CASE mosaic load; fused_device_fps_nobox reruns it with
 confidence above any score (NMS keeps nothing) to pin the opposite,
-detect-bound end — production sits between the two, near the nobox bound
-(typical-load kernel cost is ~44 us/frame, benchmarks/mosaic_bench.py).
+detect-bound end. fused_device_fps_typical MEASURES the realistic
+mid-load point: per-detector confidence calibrated from the worst-case
+run's kept scores so ~3 faces + ~1 plate survive per frame (box sizes
+remain random-init-large, so this still overstates real footage's cost;
+the kernel's typical-load cost is ~44 us/frame,
+benchmarks/mosaic_bench.py).
 
 vs_baseline divides by the reference-structure CPU-path measurement cached in
 benchmarks/cpu_baseline.json (re-derive with benchmarks/cpu_baseline.py).
@@ -214,6 +219,8 @@ def main() -> None:
     fused_device_fps = None
     fused_device_fps_small = None
     fused_device_fps_nobox = None
+    fused_device_fps_typical = None
+    typical_conf = None
     if os.environ.get("BENCH_FUSED", "1") == "1":
         from video_desensitization_tpu.pipeline.engine import (
             DesensitizationEngine,
@@ -293,6 +300,49 @@ def main() -> None:
                 pvars=plate_nb.variables,
             )
 
+        # fused_device_fps_typical: MEASURE the realistic mid-load point
+        # instead of estimating it. Calibrate per-detector confidence
+        # thresholds from the worst-case run's kept scores so the random-
+        # init detectors keep ~3 faces + ~1 plate per frame (real-footage
+        # load), then time the same fused program at those thresholds.
+        if os.environ.get("BENCH_FUSED_TYPICAL", "1") == "1":
+            packed = np.asarray(
+                pipe._program(face.variables, plate_vars, lb_p, aux_p)
+            )
+            f_px, f_keep, p_px, p_keep = pipe._unpack(packed)
+            # NMS sorts kept detections by descending score; the rank-N
+            # kept score per frame is the threshold that keeps N.
+            f_scores = np.where(f_keep, f_px[..., 4], 0.0)
+            p_scores = np.where(p_keep, p_px[..., 4], 0.0)
+            face_conf_t = float(np.median(f_scores[:, 2]))  # ~3 faces/frame
+            plate_conf_t = float(np.median(p_scores[:, 0]))  # ~1 plate/frame
+            face_t = Retinaface(
+                model_path=None,
+                backbone="resnet50",
+                input_shape=[640, 640, 3],
+                confidence=face_conf_t,
+                nms_iou=0.4,
+                max_detections=16,
+                dtype=jnp.bfloat16,
+            )
+            plate_t = PlateDetector(
+                model_path=None,
+                variant="n",
+                confidence=plate_conf_t,
+                input_shape=(640, 640),
+                max_detections=8,
+                dtype=jnp.bfloat16,
+            )
+            typical_conf = [round(face_conf_t, 4), round(plate_conf_t, 4)]
+            engine_t = DesensitizationEngine(face_t, plate_t, mosaic_level=8)
+            fused_device_fps_typical = _fused_device(
+                dev_batch,
+                fd_iters,
+                eng=engine_t,
+                fvars=face_t.variables,
+                pvars=plate_t.variables,
+            )
+
     # ---- link weather: h2d bandwidth probe. The e2e windows swing with the
     # host->chip link (tunneled here); recording the link rate alongside
     # makes any given run's e2e number interpretable on its own.
@@ -349,6 +399,12 @@ def main() -> None:
                     if fused_device_fps_nobox
                     else None
                 ),
+                "fused_device_fps_typical": (
+                    round(fused_device_fps_typical, 2)
+                    if fused_device_fps_typical
+                    else None
+                ),
+                "typical_conf": typical_conf,
                 "link_h2d_mbps": (
                     round(link_h2d_mbps, 1) if link_h2d_mbps else None
                 ),
