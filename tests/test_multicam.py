@@ -59,6 +59,36 @@ def test_cobatched_streams_roundtrip(tmp_path):
 
 
 @needs_native
+def test_cobatched_encode_kwargs_reach_writer(tmp_path):
+    """encode_kwargs (config encode_preset/encode_bitrate) flow into the
+    co-batched libx265 writers; the ultrafast output still round-trips."""
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.01,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.float32,
+    )
+    engine = TieredPipeline(face, None, mosaic_level=8)
+    rng = np.random.default_rng(2)
+    src = str(tmp_path / "cam.h265")
+    with VideoEncoder(src, 160, 96, fps=10, codec="libx265",
+                      bitrate=200000, preset="ultrafast") as e:
+        for i in range(6):
+            e.write(rng.integers(0, 255, (96, 160, 3), dtype=np.uint8))
+    jobs = {"cam": (src, str(tmp_path / "cam_out.h265"))}
+    stats = process_videos_cobatched(
+        jobs, engine, batch_size=4,
+        encode_kwargs={"preset": "ultrafast", "bitrate": 500_000},
+    )
+    assert stats["cam"].frames == 6 and not stats["cam"].error
+    with VideoDecoder(jobs["cam"][1]) as dec:
+        assert sum(1 for _ in dec) == 6
+
+
+@needs_native
 def test_cobatched_failed_camera_is_isolated(tmp_path):
     """One dead encoder must not hang the job or kill other cameras:
     the failed stream is marked with .error, the rest complete."""
