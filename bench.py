@@ -61,6 +61,14 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # BENCH_SMOKE=1: tiny shapes on the CPU backend — validates every code
+    # path of this script (incl. the calibrated typical-load block) in ~2
+    # minutes without a TPU. The printed numbers are meaningless; the run
+    # exercises the full contract the driver depends on.
+    smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -70,8 +78,12 @@ def main() -> None:
     from video_desensitization_tpu.detect.plate import PlateDetector
     from video_desensitization_tpu.pipeline.throughput import TieredPipeline
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
-    n_batches = int(os.environ.get("BENCH_BATCHES", "10"))
+    batch = int(os.environ.get("BENCH_BATCH", "2" if smoke else "32"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "2" if smoke else "10"))
+    frame_hw = (96, 160) if smoke else (1080, 1920)
+    backbone = "mobilenet" if smoke else "resnet50"
+    input_size = 128 if smoke else 640
+    model_dtype = jnp.float32 if smoke else jnp.bfloat16
 
     # max_detections caps the per-frame mosaic work. Random-init weights
     # pass ~50% of anchors at conf 0.5 (real checkpoints produce 1-5 boxes
@@ -79,20 +91,20 @@ def main() -> None:
     # 16 faces + 8 plates per frame is still generous vs. real footage.
     face = Retinaface(
         model_path=None,
-        backbone="resnet50",
-        input_shape=[640, 640, 3],
+        backbone=backbone,
+        input_shape=[input_size, input_size, 3],
         confidence=0.5,
         nms_iou=0.4,
         max_detections=16,
-        dtype=jnp.bfloat16,
+        dtype=model_dtype,
     )
     plate = PlateDetector(
         model_path=None,
         variant="n",
         confidence=0.5,
-        input_shape=(640, 640),
+        input_shape=(input_size, input_size),
         max_detections=8,
-        dtype=jnp.bfloat16,
+        dtype=model_dtype,
     )
     # transfer=yuv420 halves link bytes for one host cv2 conversion. On the
     # h2d-bound tunnel (44 MB/s measured) it wins decisively: same-session
@@ -107,7 +119,8 @@ def main() -> None:
     )
 
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, (batch, 1080, 1920, 3), dtype=np.uint8)
+    frames = rng.integers(0, 255, (batch, *frame_hw, 3), dtype=np.uint8)
+    frame_shape_row = np.array([[float(frame_hw[0]), float(frame_hw[1])]], np.float32)
 
     # Warmup: compile + two steady-state iterations.
     pipe.process_batch(frames)
@@ -116,7 +129,7 @@ def main() -> None:
     # N windows: the host<->chip link throughput fluctuates run-to-run; the
     # MEDIAN is the headline (steady state), the best window is reported
     # alongside (the pipeline's capability under good link weather).
-    windows = int(os.environ.get("BENCH_WINDOWS", "4"))
+    windows = int(os.environ.get("BENCH_WINDOWS", "1" if smoke else "4"))
     # Depth default lives in pipeline.throughput.DEFAULT_STREAM_DEPTH with
     # the interleaved A/B measurements that chose it.
     from video_desensitization_tpu.pipeline.throughput import (
@@ -157,7 +170,7 @@ def main() -> None:
         sub = frames[: min(bsz, batch)]
         reps = int(np.ceil(bsz / sub.shape[0]))
         fr = np.concatenate([sub] * reps)[:bsz]
-        shapes_np = np.tile(np.array([[1080.0, 1920.0]], np.float32), (bsz, 1))
+        shapes_np = np.tile(frame_shape_row, (bsz, 1))
         geom_np = letterbox_geometry(shapes_np, pipe.input_hw)
         aux_np = np.concatenate(
             [shapes_np, np.asarray(geom_np, np.float32)], axis=1
@@ -182,7 +195,7 @@ def main() -> None:
         run_program()
     device_fps_sync = dev_iters * batch / (time.perf_counter() - t0)
 
-    dev_batch = int(os.environ.get("BENCH_DEVICE_BATCH", "128"))
+    dev_batch = int(os.environ.get("BENCH_DEVICE_BATCH", "2" if smoke else "128"))
     lb_p, aux_p = _device_args(dev_batch)
     out = pipe._program(face.variables, plate_vars, lb_p, aux_p)
     np.asarray(out[:1])  # compile + warm
@@ -248,9 +261,7 @@ def main() -> None:
             stack = np.concatenate([frames] * reps)[:bsz]
             # engine programs take channel-interleaved flat (B, H, W*3) rows
             fr = jnp.asarray(stack.reshape(bsz, stack.shape[1], -1))
-            sh = jnp.asarray(
-                np.tile(np.array([[1080.0, 1920.0]], np.float32), (bsz, 1))
-            )
+            sh = jnp.asarray(np.tile(frame_shape_row, (bsz, 1)))
             out = eng._program(fvars, pvars, fr, sh)
             np.asarray(out[2][:1])  # compile + warm; sync via a small output
             t0 = time.perf_counter()
@@ -276,20 +287,20 @@ def main() -> None:
         if os.environ.get("BENCH_FUSED_NOBOX", "1") == "1":
             face_nb = Retinaface(
                 model_path=None,
-                backbone="resnet50",
-                input_shape=[640, 640, 3],
+                backbone=backbone,
+                input_shape=[input_size, input_size, 3],
                 confidence=2.0,
                 nms_iou=0.4,
                 max_detections=16,
-                dtype=jnp.bfloat16,
+                dtype=model_dtype,
             )
             plate_nb = PlateDetector(
                 model_path=None,
                 variant="n",
                 confidence=2.0,
-                input_shape=(640, 640),
+                input_shape=(input_size, input_size),
                 max_detections=8,
-                dtype=jnp.bfloat16,
+                dtype=model_dtype,
             )
             engine_nb = DesensitizationEngine(face_nb, plate_nb, mosaic_level=8)
             fused_device_fps_nobox = _fused_device(
@@ -314,24 +325,32 @@ def main() -> None:
             # kept score per frame is the threshold that keeps N.
             f_scores = np.where(f_keep, f_px[..., 4], 0.0)
             p_scores = np.where(p_keep, p_px[..., 4], 0.0)
-            face_conf_t = float(np.median(f_scores[:, 2]))  # ~3 faces/frame
-            plate_conf_t = float(np.median(p_scores[:, 0]))  # ~1 plate/frame
+            # Frames with fewer keeps than the target rank contribute 0s;
+            # exclude them from the median (falling back to the base
+            # threshold if no frame reaches the rank).
+            f3, p1 = f_scores[:, 2], p_scores[:, 0]
+            face_conf_t = (
+                float(np.median(f3[f3 > 0])) if (f3 > 0).any() else 0.5
+            )  # ~3 faces/frame
+            plate_conf_t = (
+                float(np.median(p1[p1 > 0])) if (p1 > 0).any() else 0.5
+            )  # ~1 plate/frame
             face_t = Retinaface(
                 model_path=None,
-                backbone="resnet50",
-                input_shape=[640, 640, 3],
+                backbone=backbone,
+                input_shape=[input_size, input_size, 3],
                 confidence=face_conf_t,
                 nms_iou=0.4,
                 max_detections=16,
-                dtype=jnp.bfloat16,
+                dtype=model_dtype,
             )
             plate_t = PlateDetector(
                 model_path=None,
                 variant="n",
                 confidence=plate_conf_t,
-                input_shape=(640, 640),
+                input_shape=(input_size, input_size),
                 max_detections=8,
-                dtype=jnp.bfloat16,
+                dtype=model_dtype,
             )
             typical_conf = [round(face_conf_t, 4), round(plate_conf_t, 4)]
             engine_t = DesensitizationEngine(face_t, plate_t, mosaic_level=8)
@@ -346,7 +365,7 @@ def main() -> None:
     # ---- link weather: h2d bandwidth probe. The e2e windows swing with the
     # host->chip link (tunneled here); recording the link rate alongside
     # makes any given run's e2e number interpretable on its own.
-    link_mb = int(os.environ.get("BENCH_LINK_PROBE_MB", "24"))
+    link_mb = int(os.environ.get("BENCH_LINK_PROBE_MB", "1" if smoke else "24"))
     link_h2d_mbps = None
     if link_mb > 0:
         probe = np.zeros((link_mb << 20,), np.uint8)
