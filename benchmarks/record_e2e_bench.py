@@ -97,7 +97,24 @@ def main() -> None:
         help="co-batch frames from all cameras into shared device batches",
     )
     ap.add_argument("--keep", action="store_true", help="keep the work dir")
+    ap.add_argument(
+        "--smoke",
+        action="store_true",
+        help="tiny shapes on the CPU backend: validates the whole harness "
+        "(synthesis, config, engine build, record job, repack) without a "
+        "TPU; the fps number is meaningless",
+    )
     args = ap.parse_args()
+
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.cams = min(args.cams, 2)
+        args.frames = min(args.frames, 6)
+        args.batch = min(args.batch, 4)
+        args.engine = "tiered"
+        args.preset = "ultrafast"
 
     from video_desensitization_tpu.api.config import load_config
     from video_desensitization_tpu.cli.main import build_engine
@@ -116,8 +133,11 @@ def main() -> None:
 
     root = tempfile.mkdtemp(prefix="vdt_record_bench_")
     try:
+        hw = (96, 160) if args.smoke else (1080, 1920)
+        input_size = 128 if args.smoke else 640
+        dtype = "float32" if args.smoke else "bfloat16"
         t0 = time.perf_counter()
-        rec_dir = synthesize_record(root, args.cams, args.frames)
+        rec_dir = synthesize_record(root, args.cams, args.frames, hw=hw)
         synth_s = time.perf_counter() - t0
 
         ini = os.path.join(root, "config.ini")
@@ -131,8 +151,8 @@ def main() -> None:
                 f"record_output_dir={os.path.join(root, 'out')}\n"
                 f"[SETTINGS]\nbatch_size={args.batch}\n"
                 f"encode_preset={args.preset}\n"
-                f"[TPU]\nengine={args.engine}\ninput_size=640\n"
-                "max_detections=16\ndtype=bfloat16\noutput_fps=30\n"
+                f"[TPU]\nengine={args.engine}\ninput_size={input_size}\n"
+                f"max_detections=16\ndtype={dtype}\noutput_fps=30\n"
                 f"co_batch={'true' if args.co_batch else 'false'}\n"
             )
         cfg = load_config(ini)
