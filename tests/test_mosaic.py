@@ -157,3 +157,33 @@ def test_engine_gaussian_anonymizer():
         # only outside every box (hard to assert directly with random boxes;
         # at minimum the output is not all-equal).
         assert not np.array_equal(res.frames, frames)
+
+
+def test_engine_odd_geometry_flat_roundtrip():
+    """The fused engine's flat (B, H, W*3) tracing must be shape-safe for
+    odd widths/heights (no Pallas on CPU — the XLA mosaic fallback path):
+    output matches the reference host kernel bitwise."""
+    import jax.numpy as jnp
+
+    from video_desensitization_tpu.detect.face import Retinaface
+    from video_desensitization_tpu.ops.mosaic import mosaic_host_reference
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.01,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.float32,
+    )
+    eng = DesensitizationEngine(face, None, mosaic_level=8)
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (2, 101, 67, 3), dtype=np.uint8)
+    res = eng.process_batch(frames)
+    assert res.frames.shape == frames.shape
+    for i in range(frames.shape[0]):
+        merged = [[int(v) for v in b] for b in res.face_boxes[i]]
+        expect = mosaic_host_reference(frames[i], merged, 8)
+        np.testing.assert_array_equal(res.frames[i], expect)

@@ -112,6 +112,29 @@ def test_stream_equals_batch(pipe):
         assert res_s.plate_boxes == res_b.plate_boxes
 
 
+@pytest.mark.parametrize(
+    "hw",
+    [
+        (160, 96),  # portrait (taller than wide)
+        (101, 67),  # odd dims in both axes
+        (64, 200),  # extreme wide
+    ],
+)
+def test_pipeline_handles_awkward_geometries(face, hw):
+    """Portrait, odd, and extreme aspect frames through the full tiered
+    path (rgb transfer — yuv420 legitimately requires even content dims):
+    output shape preserved, mosaic bitwise vs the host reference kernel."""
+    pipe = TieredPipeline(face, None, mosaic_level=8, transfer="rgb")
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (2, *hw, 3), dtype=np.uint8)
+    res = pipe.process_batch(frames)
+    assert res.frames.shape == frames.shape
+    for i in range(frames.shape[0]):
+        merged = [[int(v) for v in b] for b in res.face_boxes[i]]
+        expect = mosaic_host_reference(frames[i], merged, 8)
+        np.testing.assert_array_equal(res.frames[i], expect)
+
+
 def test_stream_transfer_pool_equals_serial(pipe):
     # transfer_workers>0 routes puts through the concurrent transfer pool
     # (off by default — measured slower on the tunneled chip, but supported
