@@ -89,23 +89,29 @@ def main() -> None:
     # pass ~50% of anchors at conf 0.5 (real checkpoints produce 1-5 boxes
     # per frame), so an uncapped run measures an unrealistic mosaic load;
     # 16 faces + 8 plates per frame is still generous vs. real footage.
-    face = Retinaface(
-        model_path=None,
-        backbone=backbone,
-        input_shape=[input_size, input_size, 3],
-        confidence=0.5,
-        nms_iou=0.4,
-        max_detections=16,
-        dtype=model_dtype,
-    )
-    plate = PlateDetector(
-        model_path=None,
-        variant="n",
-        confidence=0.5,
-        input_shape=(input_size, input_size),
-        max_detections=8,
-        dtype=model_dtype,
-    )
+    # ONE constructor for the three fused bounds (worst/nobox/typical) so
+    # they can never drift apart in anything but the confidence threshold.
+    def make_detectors(face_conf, plate_conf):
+        f = Retinaface(
+            model_path=None,
+            backbone=backbone,
+            input_shape=[input_size, input_size, 3],
+            confidence=face_conf,
+            nms_iou=0.4,
+            max_detections=16,
+            dtype=model_dtype,
+        )
+        p = PlateDetector(
+            model_path=None,
+            variant="n",
+            confidence=plate_conf,
+            input_shape=(input_size, input_size),
+            max_detections=8,
+            dtype=model_dtype,
+        )
+        return f, p
+
+    face, plate = make_detectors(0.5, 0.5)
     # transfer=yuv420 halves link bytes for one host cv2 conversion. On the
     # h2d-bound tunnel (44 MB/s measured) it wins decisively: same-session
     # A/B at batch 32 measured 34.5 fps (yuv420) vs 20.7 fps (rgb). The
@@ -285,23 +291,7 @@ def main() -> None:
         # two, near this bound: the kernel's measured typical-load cost is
         # ~44 us/frame (benchmarks/mosaic_bench.py typical_faces).
         if os.environ.get("BENCH_FUSED_NOBOX", "1") == "1":
-            face_nb = Retinaface(
-                model_path=None,
-                backbone=backbone,
-                input_shape=[input_size, input_size, 3],
-                confidence=2.0,
-                nms_iou=0.4,
-                max_detections=16,
-                dtype=model_dtype,
-            )
-            plate_nb = PlateDetector(
-                model_path=None,
-                variant="n",
-                confidence=2.0,
-                input_shape=(input_size, input_size),
-                max_detections=8,
-                dtype=model_dtype,
-            )
+            face_nb, plate_nb = make_detectors(2.0, 2.0)
             engine_nb = DesensitizationEngine(face_nb, plate_nb, mosaic_level=8)
             fused_device_fps_nobox = _fused_device(
                 dev_batch,
@@ -317,14 +307,22 @@ def main() -> None:
         # init detectors keep ~3 faces + ~1 plate per frame (real-footage
         # load), then time the same fused program at those thresholds.
         if os.environ.get("BENCH_FUSED_TYPICAL", "1") == "1":
-            packed = np.asarray(
-                pipe._program(face.variables, plate_vars, lb_p, aux_p)
-            )
-            f_px, f_keep, p_px, p_keep = pipe._unpack(packed)
-            # NMS sorts kept detections by descending score; the rank-N
-            # kept score per frame is the threshold that keeps N.
-            f_scores = np.where(f_keep, f_px[..., 4], 0.0)
-            p_scores = np.where(p_keep, p_px[..., 4], 0.0)
+            # Calibrate from the FUSED engine's own outputs (raw-RGB frames
+            # + device letterbox — the exact path the typical run times; the
+            # tiered program's yuv420 roundtrip sees different pixels and
+            # hence a different score distribution near the threshold).
+            reps = int(np.ceil(dev_batch / frames.shape[0]))
+            stack = np.concatenate([frames] * reps)[:dev_batch]
+            fr_cal = jnp.asarray(stack.reshape(dev_batch, stack.shape[1], -1))
+            sh_cal = jnp.asarray(np.tile(frame_shape_row, (dev_batch, 1)))
+            out_cal = engine._program(face.variables, plate_vars, fr_cal, sh_cal)
+            f_px, f_keep = np.asarray(out_cal[1]), np.asarray(out_cal[2])
+            p_px, p_keep = np.asarray(out_cal[3]), np.asarray(out_cal[4])
+            # Suppressed rows stay in place (keep=False, zeroed), so slot
+            # index != kept rank: sort the kept scores per frame descending
+            # and take the rank-N score — the threshold that keeps N.
+            f_scores = np.sort(np.where(f_keep, f_px[..., 4], 0.0), axis=1)[:, ::-1]
+            p_scores = np.sort(np.where(p_keep, p_px[..., 4], 0.0), axis=1)[:, ::-1]
             # Frames with fewer keeps than the target rank contribute 0s;
             # exclude them from the median (falling back to the base
             # threshold if no frame reaches the rank).
@@ -335,23 +333,7 @@ def main() -> None:
             plate_conf_t = (
                 float(np.median(p1[p1 > 0])) if (p1 > 0).any() else 0.5
             )  # ~1 plate/frame
-            face_t = Retinaface(
-                model_path=None,
-                backbone=backbone,
-                input_shape=[input_size, input_size, 3],
-                confidence=face_conf_t,
-                nms_iou=0.4,
-                max_detections=16,
-                dtype=model_dtype,
-            )
-            plate_t = PlateDetector(
-                model_path=None,
-                variant="n",
-                confidence=plate_conf_t,
-                input_shape=(input_size, input_size),
-                max_detections=8,
-                dtype=model_dtype,
-            )
+            face_t, plate_t = make_detectors(face_conf_t, plate_conf_t)
             typical_conf = [round(face_conf_t, 4), round(plate_conf_t, 4)]
             engine_t = DesensitizationEngine(face_t, plate_t, mosaic_level=8)
             fused_device_fps_typical = _fused_device(

@@ -110,11 +110,20 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # Shrink sizes, but respect engine/preset the user passed
+        # explicitly — a smoke of the fused branch must actually run it.
+        def _passed(flag):
+            return any(
+                a == flag or a.startswith(flag + "=") for a in sys.argv[1:]
+            )
+
         args.cams = min(args.cams, 2)
         args.frames = min(args.frames, 6)
         args.batch = min(args.batch, 4)
-        args.engine = "tiered"
-        args.preset = "ultrafast"
+        if not _passed("--engine"):
+            args.engine = "tiered"
+        if not _passed("--preset"):
+            args.preset = "ultrafast"
 
     from video_desensitization_tpu.api.config import load_config
     from video_desensitization_tpu.cli.main import build_engine

@@ -117,6 +117,12 @@ def process_videos_cobatched(
                     kwargs = dict(HEVC_DEFAULTS) if c == "libx265" else {}
                     if c == "libx265" and encode_kwargs:
                         kwargs.update(encode_kwargs)
+                    elif encode_kwargs:
+                        log.info(
+                            "encode settings %s ignored for camera %s "
+                            "codec %s (libx265 outputs only)",
+                            encode_kwargs, cam, c,
+                        )
                     kwargs["codec"] = c
                     enc = VideoEncoder(
                         out_path, w, h, fps=fps or meta[cam]["fps"], **kwargs

@@ -106,6 +106,14 @@ def process_video_stream(
                     kwargs = dict(HEVC_DEFAULTS) if codec == "libx265" else {}
                     if codec == "libx265" and encode_kwargs:
                         kwargs.update(encode_kwargs)
+                    elif encode_kwargs:
+                        # encode_preset/encode_bitrate are libx265 knobs;
+                        # say so rather than silently dropping them when the
+                        # output resolves to another codec (e.g. .mp4).
+                        log.info(
+                            "encode settings %s ignored for codec %s "
+                            "(libx265 outputs only)", encode_kwargs, codec,
+                        )
                     kwargs["codec"] = codec
                     enc = VideoEncoder(output_path, w, h, fps=out_fps, **kwargs)
                     encoder_holder["enc"] = enc
