@@ -19,13 +19,20 @@ import sys
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "distributed_worker.py")
 
 
-def _env():
+def _env(cache_dir=None):
     env = dict(os.environ)
     # the worker script pins platform/device-count via jax.config; scrub any
     # inherited flags that could fight it
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("JAX_TPU_TESTS", None)
+    if cache_dir is not None:
+        # Shared per-run compilation cache: the reference run primes it, so
+        # the two workers (identical SPMD programs) mostly skip compilation.
+        # Two fresh interpreters compiling in lockstep on a loaded 1-core
+        # host otherwise skew past the coordination service's fixed barrier
+        # deadlines (observed: Shutdown barrier DEADLINE_EXCEEDED).
+        env["JAX_COMPILATION_CACHE_DIR"] = str(cache_dir)
     return env
 
 
@@ -37,7 +44,7 @@ def _free_port() -> int:
     return port
 
 
-def _run_workers(ref):
+def _run_workers(ref, cache_dir):
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -55,7 +62,7 @@ def _run_workers(ref):
                 "--ref",
                 str(ref),
             ],
-            env=_env(),
+            env=_env(cache_dir),
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -76,9 +83,10 @@ def _run_workers(ref):
 
 def test_two_process_distributed_matches_single_process(tmp_path):
     ref = tmp_path / "ref.npz"
+    cache_dir = tmp_path / "jaxcache"
     r = subprocess.run(
         [sys.executable, WORKER, "--mode", "reference", "--out", str(ref)],
-        env=_env(),
+        env=_env(cache_dir),
         capture_output=True,
         text=True,
         timeout=900,
@@ -86,14 +94,17 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     assert r.returncode == 0, f"reference run failed:\n{r.stdout}\n{r.stderr}"
     assert ref.exists()
 
-    rcs, outs = _run_workers(ref)
-    if any(rc != 0 for rc in rcs) and not any("compare FAILED" in o for o in outs):
-        # Coordination-service barrier/heartbeat timeouts happen when the
-        # host is heavily loaded (two fresh interpreters compiling in
-        # lockstep can skew past the service's fixed barrier deadline).
-        # That is test-infrastructure weather, not a sharding bug: retry
-        # once. A numeric mismatch ("compare FAILED") is never retried.
-        rcs, outs = _run_workers(ref)
+    # Coordination-service barrier/heartbeat timeouts happen when the host
+    # is heavily loaded (two fresh interpreters compiling in lockstep can
+    # skew past the service's fixed barrier deadlines). That is
+    # test-infrastructure weather, not a sharding bug: retry up to 3
+    # attempts total. A numeric mismatch ("compare FAILED") is never
+    # retried — it fails immediately.
+    for attempt in range(3):
+        rcs, outs = _run_workers(ref, cache_dir)
+        ok = all(rc == 0 for rc in rcs)
+        if ok or any("compare FAILED" in o for o in outs):
+            break
     for i, (rc, out) in enumerate(zip(rcs, outs)):
         assert rc == 0, f"worker {i} failed (rc={rc}):\n{out}"
     assert "compare ok" in outs[0], outs[0]
