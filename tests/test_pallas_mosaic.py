@@ -32,6 +32,14 @@ CASES = {
     "full_frame": [[0, 0, W, H]],
     "thin": [[30, 30, 34, 37], [100, 10, W, 30]],
     "many": [[i * 7, i * 11 % 200, i * 7 + 20, i * 11 % 200 + 31] for i in range(8)],
+    # Ownership-grid edge cases: the bottom strip's DMA window clamps to
+    # H - OUT_ROWS (write region overlaps the strip above), and boxes with
+    # y1 < PAD clamp the input window to row 0.
+    "bottom_edge_single_strip": [[10, 200, 90, H]],
+    "top_unaligned": [[5, 3, 80, 130]],
+    "bottom_overlap_pair": [[10, 150, 100, H], [40, 180, 120, 250]],
+    "tall_unaligned_to_bottom": [[20, 13, 90, 247]],
+    "full_frame_then_bottom": [[0, 0, W, H], [30, 200, 60, H]],
 }
 
 
@@ -45,6 +53,21 @@ def test_kernel_bitwise_parity(frame, name):
         mosaic_boxes_batch_pallas(frame[None], boxes, valid, 8, interpret=True)
     )[0]
     np.testing.assert_array_equal(out, mosaic_host_reference(frame, bl, 8))
+
+
+def test_minimum_height_heavy_clamp():
+    """H=136 forces near-total window overlap between the two strips of a
+    full-height box (the bottom strip's window and write region clamp hard
+    against H - OUT_ROWS / H - STRIP)."""
+    h = 136
+    f = np.random.default_rng(3).integers(0, 255, (h, W, 3), dtype=np.uint8)
+    bl = [[0, 0, W, h], [20, 5, 100, 130]]
+    boxes = np.array([bl + [[0, 0, 0, 0]] * 6], np.int32)
+    valid = np.array([[True, True] + [False] * 6])
+    out = np.asarray(
+        mosaic_boxes_batch_pallas(f[None], boxes, valid, 8, interpret=True)
+    )[0]
+    np.testing.assert_array_equal(out, mosaic_host_reference(f, bl, 8))
 
 
 def test_no_valid_boxes_is_identity(frame):

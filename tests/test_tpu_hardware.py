@@ -51,6 +51,31 @@ def test_pallas_mosaic_bitwise_on_hardware():
         )
 
 
+def test_pallas_mosaic_clamp_geometries_on_hardware():
+    """Ownership-grid edge cases compiled on chip: the bottom strip's DMA
+    window clamps to H - OUT_ROWS (its write region overlaps the strip
+    above — ordering relies on the single-outstanding write-back wait), the
+    minimum supported height forces near-total window overlap, and y1 < PAD
+    clamps the input window to row 0."""
+    from video_desensitization_tpu.ops.mosaic import mosaic_host_reference
+    from video_desensitization_tpu.ops.pallas_mosaic import (
+        mosaic_boxes_batch_pallas,
+    )
+
+    rng = np.random.default_rng(1)
+    for h, blist in [
+        (1080, [[10, 950, 900, 1080], [40, 1000, 1200, 1070], [5, 3, 800, 130]]),
+        (136, [[0, 0, 1920, 136], [20, 5, 1000, 130]]),
+        (264, [[0, 0, 1920, 264], [30, 200, 600, 264], [20, 13, 900, 247]]),
+    ]:
+        frame = rng.integers(0, 255, (h, 1920, 3), dtype=np.uint8)
+        k = len(blist)
+        boxes = np.array([blist + [[0, 0, 0, 0]] * (8 - k)], np.int32)
+        valid = np.array([[True] * k + [False] * (8 - k)])
+        out = np.asarray(mosaic_boxes_batch_pallas(frame[None], boxes, valid, 8))[0]
+        np.testing.assert_array_equal(out, mosaic_host_reference(frame, blist, 8))
+
+
 def test_engine_backends_agree_on_hardware():
     import jax.numpy as jnp
 
