@@ -87,14 +87,57 @@ def test_support_envelope():
     assert not pallas_mosaic_supported(H, W, PAD)  # level too big for PAD
 
 
-def test_unsupported_falls_back(frame):
-    """Non-128-lane widths route to the XLA path with identical results."""
-    small = frame[:, :100]
-    boxes = np.array([[[5, 5, 60, 80]]], np.int32)
+PADDED_GEOMETRIES = {
+    # (h, w): geometries outside the native envelope — the wrapper pads to
+    # (max(128, ceil8(h)), ceil128(w)) and crops back.
+    "odd_width": (H, 100),
+    "odd_both": (250, 91),
+    "tiny": (96, 120),
+    "portrait_slice": (200, 72),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PADDED_GEOMETRIES))
+def test_padded_envelope_bitwise_parity(name):
+    h, w = PADDED_GEOMETRIES[name]
+    f = np.random.default_rng(7).integers(0, 255, (h, w, 3), dtype=np.uint8)
+    bl = [
+        [5, 5, min(60, w), min(80, h)],
+        [w // 3, h // 2, w - 2, h - 1],
+        [0, 0, w, h],
+    ]
+    boxes = np.array([bl + [[0, 0, 0, 0]] * 5], np.int32)
+    valid = np.array([[True] * 3 + [False] * 5])
+    out = np.asarray(
+        mosaic_boxes_batch_pallas(f[None], boxes, valid, 8, interpret=True)
+    )[0]
+    np.testing.assert_array_equal(out, mosaic_host_reference(f, bl, 8))
+
+
+def test_padded_envelope_clips_spilling_boxes_to_original_frame():
+    """A box spilling past the ORIGINAL frame edge must be clipped before
+    padding: clipping to the padded extent instead would change the box
+    extent and with it the composed pixelation table inside the visible
+    area."""
+    h, w = 250, 91
+    f = np.random.default_rng(9).integers(0, 255, (h, w, 3), dtype=np.uint8)
+    bl = [[40, 100, w + 30, h + 60], [-10, -5, 50, 40]]
+    boxes = np.array([bl + [[0, 0, 0, 0]] * 6], np.int32)
+    valid = np.array([[True, True] + [False] * 6])
+    out = np.asarray(
+        mosaic_boxes_batch_pallas(f[None], boxes, valid, 8, interpret=True)
+    )[0]
+    np.testing.assert_array_equal(out, mosaic_host_reference(f, bl, 8))
+
+
+def test_oversized_level_falls_back(frame):
+    """A mosaic level beyond the kernel's PAD lookback routes to the XLA
+    path with identical results."""
+    lvl = PAD  # 2*PAD + 2 > PAD
+    bl = [[5, 5, 100, 200]]
+    boxes = np.array([bl], np.int32)
     valid = np.array([[True]])
     out = np.asarray(
-        mosaic_boxes_batch_pallas(small[None], boxes, valid, 8, interpret=True)
+        mosaic_boxes_batch_pallas(frame[None], boxes, valid, lvl, interpret=True)
     )[0]
-    np.testing.assert_array_equal(
-        out, mosaic_host_reference(small, [[5, 5, 60, 80]], 8)
-    )
+    np.testing.assert_array_equal(out, mosaic_host_reference(frame, bl, lvl))

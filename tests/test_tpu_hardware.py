@@ -76,6 +76,30 @@ def test_pallas_mosaic_clamp_geometries_on_hardware():
         np.testing.assert_array_equal(out, mosaic_host_reference(frame, blist, 8))
 
 
+def test_pallas_mosaic_padded_envelope_on_hardware():
+    """Geometries outside the native envelope (odd widths, portrait) run
+    through the pad-to-envelope path compiled on chip and stay bitwise."""
+    from video_desensitization_tpu.ops.mosaic import mosaic_host_reference
+    from video_desensitization_tpu.ops.pallas_mosaic import (
+        mosaic_boxes_batch_pallas,
+        pallas_mosaic_supported,
+    )
+
+    rng = np.random.default_rng(2)
+    for h, w in [(1080, 1912), (1920, 1080), (480, 720)]:
+        assert not pallas_mosaic_supported(h, w, 8)
+        frame = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        bl = [
+            [10, 20, min(200, w), min(240, h)],
+            [w // 2, h // 2, w + 25, h + 40],  # spills past the true edge
+            [0, max(0, h - 133), w // 3, h],
+        ]
+        boxes = np.array([bl + [[0, 0, 0, 0]] * 5], np.int32)
+        valid = np.array([[True] * 3 + [False] * 5])
+        out = np.asarray(mosaic_boxes_batch_pallas(frame[None], boxes, valid, 8))[0]
+        np.testing.assert_array_equal(out, mosaic_host_reference(frame, bl, 8))
+
+
 def test_engine_backends_agree_on_hardware():
     import jax.numpy as jnp
 

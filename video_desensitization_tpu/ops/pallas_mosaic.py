@@ -339,16 +339,48 @@ def mosaic_boxes_batch_pallas(
 
     frames: (B, H, W, 3) uint8; boxes: (B, K, 4) int32 pixel xyxy (unclipped
     ok); valid: (B, K) bool. Same semantics as
-    ops.mosaic.mosaic_boxes_batch; falls back to it when the geometry is
-    outside the kernel's envelope.
+    ops.mosaic.mosaic_boxes_batch.
+
+    Geometries outside the kernel's native envelope (H not a multiple of 8
+    or < 128; W not a multiple of 128 — portrait frames, 480/640-class
+    widths) are PADDED to it and cropped back: two contiguous frame copies
+    instead of the XLA scan fallback's O(K * H * W) per-box remap passes.
+    Boxes are clipped to the ORIGINAL frame before padding — the kernel's
+    own clip would clip to the padded extent, changing a spilling box's
+    extent and with it the composed pixelation table. Only a mosaic level
+    beyond the kernel's lookback budget (2*level + 2 > PAD) still falls
+    back to the XLA path.
     """
     b, h, w, c = frames.shape
-    if c != 3 or not pallas_mosaic_supported(h, w, level):
+    if c != 3 or 2 * level + 2 > PAD:
         return mosaic_boxes_batch(frames, boxes, valid, level)
-    out = mosaic_boxes_batch_pallas_flat(
-        frames.reshape(b, h, w * 3), boxes, valid, w, level, interpret=interpret
+    if pallas_mosaic_supported(h, w, level):
+        out = mosaic_boxes_batch_pallas_flat(
+            frames.reshape(b, h, w * 3), boxes, valid, w, level,
+            interpret=interpret,
+        )
+        return out.reshape(b, h, w, 3)
+    # Pad-to-envelope. Sources of every output pixel lie inside its own box
+    # (composed table offsets are in [0, extent)), so once boxes are clipped
+    # to the original H x W the padded rows/cols are never read as sources
+    # and never written — the crop returns exactly the native result.
+    ph = max(STRIP, ((h + 7) // 8) * 8)
+    pw = ((w + 127) // 128) * 128
+    cboxes = jnp.stack(
+        [
+            jnp.clip(boxes[..., 0], 0, w),
+            jnp.clip(boxes[..., 1], 0, h),
+            jnp.clip(boxes[..., 2], 0, w),
+            jnp.clip(boxes[..., 3], 0, h),
+        ],
+        axis=-1,
     )
-    return out.reshape(b, h, w, 3)
+    padded = jnp.pad(frames, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+    out = mosaic_boxes_batch_pallas_flat(
+        padded.reshape(b, ph, pw * 3), cboxes, valid, pw, level,
+        interpret=interpret,
+    )
+    return out.reshape(b, ph, pw, 3)[:, :h, :w, :]
 
 
 def mosaic_boxes_batch_pallas_flat(
