@@ -73,11 +73,10 @@ def probe_link_gib_s(size_mb: int = 32, reps: int = 2) -> float:
 probe_link_gbps = probe_link_gib_s
 
 # engine=auto threshold, GiB/s — derived from MEASURED chip-side rates
-# (bench.py fused_device_fps, r3). The fused program sustains 466 fps
+# (bench.py fused_device_fps, r3). The fused program sustains 530 fps
 # pipelined at batch 128 with frames device-resident — a worst-case bound
-# (random-weight giant boxes; real footage's few small boxes cost the gated
-# kernel ~44 us/frame, benchmarks/mosaic_bench.py typical_faces). The tiered
-# path's
+# (random-weight giant boxes); at a calibrated typical box load it
+# measures 586 fps (fused_device_fps_typical). The tiered path's
 # host-stage ceiling is ~300 fps/batch-32 on a modest host
 # (stage_breakdown.py: letterbox 56 ms + mosaic 50 ms per batch). Fused
 # must move raw 1080p frames BOTH ways (~12.4 MB/frame), so beating tiered
@@ -85,7 +84,7 @@ probe_link_gbps = probe_link_gib_s
 # alone and cannot tell full- from half-duplex: on a half-duplex link a
 # 4 GiB/s probe means only ~4.3 GB/s aggregate -> ~170 fps fused, a LOSS.
 # At 6 GiB/s even the half-duplex case sustains >= 520 fps of frame
-# traffic, above the 466 fps chip bound — fused cannot lose there.
+# traffic, at the 530 fps worst-case chip bound — fused cannot lose there.
 AUTO_ENGINE_FUSED_GIB_S = 6.0
 
 
