@@ -187,3 +187,64 @@ def test_engine_odd_geometry_flat_roundtrip():
         merged = [[int(v) for v in b] for b in res.face_boxes[i]]
         expect = mosaic_host_reference(frames[i], merged, 8)
         np.testing.assert_array_equal(res.frames[i], expect)
+
+
+def test_i420_host_oracle_pixelates_every_plane():
+    """The I420 host oracle applies the cv2 mosaic per plane: Y with the
+    full-res boxes, U/V with halved boxes at level//2."""
+    from video_desensitization_tpu.ops.mosaic import mosaic_i420_host_inplace
+
+    h, w = 120, 160
+    yuv = RNG.integers(0, 255, (h * 3 // 2, w), dtype=np.uint8)
+    boxes = [(10, 20, 60, 90), (-5, 100, 40, 200)]
+    got = mosaic_i420_host_inplace(yuv.copy(), boxes, 8)
+
+    want = yuv.copy()
+    want[:h] = mosaic_host_reference(want[:h], boxes, 8)
+    cb = [(x1 // 2, y1 // 2, (x2 + 1) // 2, (y2 + 1) // 2) for x1, y1, x2, y2 in boxes]
+    u = want[h : h + h // 4].reshape(h // 2, w // 2)
+    u[:] = mosaic_host_reference(u, cb, 4)
+    v = want[h + h // 4 :].reshape(h // 2, w // 2)
+    v[:] = mosaic_host_reference(v, cb, 4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_i420_device_mosaic_bitwise_vs_host_oracle():
+    from video_desensitization_tpu.ops.mosaic import (
+        mosaic_i420_batch,
+        mosaic_i420_host_inplace,
+    )
+
+    h, w = 120, 160
+    yuv = RNG.integers(0, 255, (2, h * 3 // 2, w), dtype=np.uint8)
+    bl = [[10, 20, 60, 90], [35, 50, 120, 110], [150, 100, 200, 140]]
+    boxes = np.array([bl, bl], np.int32)
+    valid = np.array([[True, True, True], [True, False, True]])
+    out = np.asarray(mosaic_i420_batch(jnp.asarray(yuv), boxes, valid, 8))
+    for i in range(2):
+        kept = [b for b, v in zip(bl, valid[i]) if v]
+        want = mosaic_i420_host_inplace(yuv[i].copy(), kept, 8)
+        np.testing.assert_array_equal(out[i], want)
+
+
+def test_i420_mosaic_commutes_with_colorspace_on_even_grid():
+    """INTER_NEAREST pixelation is a pure gather, so for a box aligned to
+    the 2x2 chroma grid with extent divisible by 2*level the yuv-plane
+    mosaic selects exactly the pixels whose RGB mosaic would select the
+    corresponding full-res sources: converting the mosaicked I420 to RGB
+    equals mosaicking the converted RGB frame."""
+    import cv2
+
+    from video_desensitization_tpu.ops.mosaic import mosaic_i420_host_inplace
+
+    h, w = 128, 192
+    rgb = RNG.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    yuv = cv2.cvtColor(rgb, cv2.COLOR_RGB2YUV_I420)
+    boxes = [(16, 24, 80, 88)]  # 64x64 extent, even origin: grid-aligned
+
+    blurred_yuv = mosaic_i420_host_inplace(yuv.copy(), boxes, 8)
+    a = cv2.cvtColor(blurred_yuv, cv2.COLOR_YUV2RGB_I420)
+
+    b = cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB_I420)
+    b = mosaic_host_reference(b, boxes, 8)
+    np.testing.assert_array_equal(a, b)

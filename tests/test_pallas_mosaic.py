@@ -141,3 +141,39 @@ def test_oversized_level_falls_back(frame):
         mosaic_boxes_batch_pallas(frame[None], boxes, valid, lvl, interpret=True)
     )[0]
     np.testing.assert_array_equal(out, mosaic_host_reference(frame, bl, lvl))
+
+
+def test_single_plane_kernel_bitwise_parity():
+    """channels=1: the kernel mosaics a bare (B, H, W) plane — the YUV420
+    path's building block. Same golden oracle, single-channel."""
+    f = np.random.default_rng(11).integers(0, 255, (H, W, 1), dtype=np.uint8)
+    for name in ("short", "overlapping", "bottom_overlap_pair", "full_frame"):
+        bl = CASES[name]
+        k = max(8, len(bl))
+        boxes = np.array([bl + [[0, 0, 0, 0]] * (k - len(bl))], np.int32)
+        valid = np.array([[True] * len(bl) + [False] * (k - len(bl))])
+        out = np.asarray(
+            mosaic_boxes_batch_pallas(f[None], boxes, valid, 8, interpret=True)
+        )[0]
+        want = mosaic_host_reference(f[..., 0], bl, 8)[..., None]
+        np.testing.assert_array_equal(out, want, err_msg=name)
+
+
+def test_i420_pallas_bitwise_vs_host_oracle():
+    from video_desensitization_tpu.ops.mosaic import mosaic_i420_host_inplace
+    from video_desensitization_tpu.ops.pallas_mosaic import (
+        mosaic_i420_batch_pallas,
+    )
+
+    h, w = 256, 256  # Y natively supported; chroma (128, 256) stacked
+    yuv = np.random.default_rng(13).integers(
+        0, 255, (2, h * 3 // 2, w), dtype=np.uint8
+    )
+    bl = [[10, 20, 60, 90], [35, 50, 220, 210], [200, 100, 300, 300]]
+    boxes = np.array([bl, bl], np.int32)
+    valid = np.array([[True, True, True], [True, False, True]])
+    out = np.asarray(mosaic_i420_batch_pallas(yuv, boxes, valid, 8, interpret=True))
+    for i in range(2):
+        kept = [b for b, v in zip(bl, valid[i]) if v]
+        want = mosaic_i420_host_inplace(yuv[i].copy(), kept, 8)
+        np.testing.assert_array_equal(out[i], want)

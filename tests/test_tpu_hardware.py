@@ -100,6 +100,28 @@ def test_pallas_mosaic_padded_envelope_on_hardware():
         np.testing.assert_array_equal(out, mosaic_host_reference(frame, bl, 8))
 
 
+def test_pallas_mosaic_i420_on_hardware():
+    """The planar-YUV mosaic (Y full-res, U|V stacked at level//2) compiled
+    on chip is bitwise vs the per-plane cv2 oracle at 1080p — the fused
+    engine's yuv420 IO path."""
+    from video_desensitization_tpu.ops.mosaic import mosaic_i420_host_inplace
+    from video_desensitization_tpu.ops.pallas_mosaic import (
+        mosaic_i420_batch_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    h, w = 1080, 1920
+    yuv = rng.integers(0, 255, (2, h * 3 // 2, w), dtype=np.uint8)
+    bl = [[100, 200, 400, 500], [1500, 800, 2000, 1200], [33, 1001, 477, 1080]]
+    boxes = np.array([bl, bl], np.int32)
+    valid = np.array([[True, True, True], [True, False, True]])
+    out = np.asarray(mosaic_i420_batch_pallas(yuv, boxes, valid, 8))
+    for i in range(2):
+        kept = [b for b, v in zip(bl, valid[i]) if v]
+        want = mosaic_i420_host_inplace(yuv[i].copy(), kept, 8)
+        np.testing.assert_array_equal(out[i], want)
+
+
 def test_engine_backends_agree_on_hardware():
     import jax.numpy as jnp
 

@@ -152,6 +152,110 @@ def mosaic_boxes_batch(
     return jax.vmap(per_image)(frames, boxes, valid)
 
 
+def chroma_boxes(boxes: Array) -> Array:
+    """Half-resolution chroma-plane boxes covering a full-res pixel box.
+
+    Floor the start and ceil the end so every chroma sample whose 2x2 luma
+    footprint intersects the box is pixelated (privacy must err outward).
+    """
+    return jnp.stack(
+        [
+            boxes[..., 0] // 2,
+            boxes[..., 1] // 2,
+            (boxes[..., 2] + 1) // 2,
+            (boxes[..., 3] + 1) // 2,
+        ],
+        axis=-1,
+    )
+
+
+def mosaic_i420_batch(
+    yuv: Array,
+    boxes: Array,
+    valid: Array,
+    level: int = DEFAULT_MOSAIC_LEVEL,
+    plane_fn=None,
+) -> Array:
+    """Mosaic planar I420 frames directly — no RGB roundtrip.
+
+    yuv: (B, H*3/2, W) uint8 planar I420 (Y plane then U then V, each
+    chroma plane H/2 x W/2 packed two rows per buffer row); boxes: (B, K, 4)
+    int32 full-resolution pixel xyxy; valid: (B, K) bool.
+
+    INTER_NEAREST pixelation is a pure gather — it copies pixels and never
+    blends — so it commutes with any per-pixel colorspace transform:
+    mosaicking the decoded YUV planes directly equals decoding to RGB,
+    mosaicking there, and converting back, minus the double-conversion
+    rounding the reference pipeline incurs (combine_detect.py:138-161 after
+    cv2 BGR decode). The Y plane uses the full-res boxes and ``level``; the
+    chroma planes use half-res boxes (``chroma_boxes``) at ``level // 2``,
+    which reproduces the full-res block grid at chroma resolution (same
+    number of blocks per box). U and V are stacked side by side into one
+    (H/2, W) plane and processed in a single pass with duplicated boxes.
+
+    plane_fn: the (B, H, W, 1)-plane mosaic backend; defaults to the XLA
+    ``mosaic_boxes_batch`` (the Pallas twin lives in ops.pallas_mosaic).
+    """
+    if plane_fn is None:
+        plane_fn = mosaic_boxes_batch
+    b, h15, w = yuv.shape
+    h = (h15 * 2) // 3
+    assert h15 * 2 == h * 3 and h % 2 == 0 and w % 2 == 0, (h15, w)
+    y = yuv[:, :h, :]
+    u = yuv[:, h : h + h // 4, :].reshape(b, h // 2, w // 2)
+    v = yuv[:, h + h // 4 :, :].reshape(b, h // 2, w // 2)
+
+    y_out = plane_fn(y[..., None], boxes, valid, level)[..., 0]
+
+    cb = chroma_boxes(boxes)
+    # Clip to the HALF plane before stacking: the stacked plane is 2x wider,
+    # so a spilling U box would otherwise clip against the V half's far edge,
+    # bleed across the seam, and change its extent (hence its block table).
+    cb = jnp.stack(
+        [
+            jnp.clip(cb[..., 0], 0, w // 2),
+            jnp.clip(cb[..., 1], 0, h // 2),
+            jnp.clip(cb[..., 2], 0, w // 2),
+            jnp.clip(cb[..., 3], 0, h // 2),
+        ],
+        axis=-1,
+    )
+    voff = jnp.array([w // 2, 0, w // 2, 0], jnp.int32)
+    stacked = jnp.concatenate([u, v], axis=2)  # (B, H/2, W): U left, V right
+    cboxes = jnp.concatenate([cb, cb + voff], axis=1)
+    cvalid = jnp.concatenate([valid, valid], axis=1)
+    clevel = max(1, level // 2)
+    c_out = plane_fn(stacked[..., None], cboxes, cvalid, clevel)[..., 0]
+
+    u_out = c_out[:, :, : w // 2].reshape(b, h // 4, w)
+    v_out = c_out[:, :, w // 2 :].reshape(b, h // 4, w)
+    return jnp.concatenate([y_out, u_out, v_out], axis=1)
+
+
+def mosaic_i420_host_inplace(
+    yuv: np.ndarray, boxes, level: int = DEFAULT_MOSAIC_LEVEL
+) -> np.ndarray:
+    """Host oracle for ``mosaic_i420_batch``: cv2 mosaic per plane on one
+    (H*3/2, W) I420 image, full-res boxes on Y, halved boxes at level//2 on
+    U and V. Mutates ``yuv``."""
+    # The chroma views below reshape row slices; on a non-contiguous array
+    # numpy would silently copy and the mutations would be lost.
+    assert yuv.flags["C_CONTIGUOUS"], "mosaic_i420_host_inplace needs C-contiguous yuv"
+    h15, w = yuv.shape
+    h = (h15 * 2) // 3
+    mosaic_host_inplace(yuv[:h], boxes, level)
+    u = yuv[h : h + h // 4].reshape(h // 2, w // 2)
+    v = yuv[h + h // 4 :].reshape(h // 2, w // 2)
+    cb = [
+        [x1 // 2, y1 // 2, (x2 + 1) // 2, (y2 + 1) // 2]
+        for x1, y1, x2, y2 in boxes
+    ]
+    clevel = max(1, level // 2)
+    mosaic_host_inplace(u, cb, clevel)
+    mosaic_host_inplace(v, cb, clevel)
+    return yuv
+
+
 def mosaic_host_inplace(
     img: np.ndarray, boxes, level: int = DEFAULT_MOSAIC_LEVEL
 ) -> np.ndarray:

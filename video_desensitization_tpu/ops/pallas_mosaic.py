@@ -56,6 +56,7 @@ program before gating, benchmarks/profiles/r3).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +67,7 @@ from video_desensitization_tpu.ops.mosaic import (
     DEFAULT_MOSAIC_LEVEL,
     composed_mosaic_table,
     mosaic_boxes_batch,
+    mosaic_i420_batch,
 )
 
 STRIP = 128  # VMEM window rows per input DMA
@@ -82,11 +84,11 @@ OUT_ROWS = STRIP - PAD
 def _mosaic_kernel(
     boxes_ref,  # (1, K, 4) SMEM int32 [x1, y1, x2, y2], clipped
     ysrc_ref,  # (1, H, KPAD) VMEM f32 — absolute source row per output row
-    csrc_ref,  # (1, K, W*3) VMEM f32 — interleaved source column per column
-    frame_ref,  # (B, H, W*3) ANY (HBM) uint8 — aliased with out_ref
-    out_ref,  # (B, H, W*3) ANY (HBM) uint8 — full array
-    scratch,  # (2, STRIP, W*3) VMEM uint8 — double-buffered input windows
-    ascratch,  # (2, STRIP, W*3) VMEM uint8 — double-buffered accumulators
+    csrc_ref,  # (1, K, W*C) VMEM f32 — interleaved source column per column
+    frame_ref,  # (B, H, W*C) ANY (HBM) uint8 — aliased with out_ref
+    out_ref,  # (B, H, W*C) ANY (HBM) uint8 — full array
+    scratch,  # (2, STRIP, W*C) VMEM uint8 — double-buffered input windows
+    ascratch,  # (2, STRIP, W*C) VMEM uint8 — double-buffered accumulators
     yscratch,  # (2, STRIP, KPAD) VMEM f32 — double-buffered source-row windows
     in_sems,  # DMA (2,) — input-window copies
     y_sems,  # DMA (2,) — source-row-window copies
@@ -94,8 +96,9 @@ def _mosaic_kernel(
     *,
     height: int,
     width: int,
+    channels: int = 3,
 ):
-    w3 = width * 3
+    w3 = width * channels
     n_boxes = boxes_ref.shape[1]
     i = pl.program_id(0)  # frame index (HBM refs are unblocked)
     # No pass-through copy: out_ref is input-output aliased with frame_ref
@@ -104,7 +107,7 @@ def _mosaic_kernel(
     # rewrite their regions in place — exactly the reference's in-place
     # semantics (combine_detect.py:138-161).
 
-    colpix = jax.lax.broadcasted_iota(jnp.int32, (1, w3), 1) // 3
+    colpix = jax.lax.broadcasted_iota(jnp.int32, (1, w3), 1) // channels
 
     def per_box(k, _):
         x1 = boxes_ref[0, k, 0]
@@ -242,8 +245,8 @@ def _mosaic_kernel(
             ngroups = w3 // 128
             ones_col = jnp.ones((STRIP, 1), jnp.float32)
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (STRIP, 128), 0)
-            x1c = x1 * 3
-            x2c = x2 * 3
+            x1c = x1 * channels
+            x2c = x2 * channels
             for g in range(ngroups):
                 sl = slice(g * 128, (g + 1) * 128)
 
@@ -318,12 +321,19 @@ def _mosaic_kernel(
 
 
 def pallas_mosaic_supported(
-    height: int, width: int, level: int = DEFAULT_MOSAIC_LEVEL
+    height: int,
+    width: int,
+    level: int = DEFAULT_MOSAIC_LEVEL,
+    channels: int = 3,
 ) -> bool:
     return (
         height >= STRIP
         and height % 8 == 0
-        and (width * 3) % 128 == 0
+        and (width * channels) % 128 == 0
+        # PAD bounds the row lookback; the column one-hot scheme needs the
+        # interleaved displacement channels*(2*level+1) + channels - 1 to
+        # stay under one 128-lane group, which PAD <= 24 already implies
+        # for channels <= 3.
         and 2 * level + 2 <= PAD
     )
 
@@ -337,35 +347,37 @@ def mosaic_boxes_batch_pallas(
 ) -> jax.Array:
     """Pallas mosaic over an NHWC uint8 batch.
 
-    frames: (B, H, W, 3) uint8; boxes: (B, K, 4) int32 pixel xyxy (unclipped
-    ok); valid: (B, K) bool. Same semantics as
-    ops.mosaic.mosaic_boxes_batch.
+    frames: (B, H, W, C) uint8 with C in {1, 3} (C=1 mosaics a bare plane —
+    the YUV420 path); boxes: (B, K, 4) int32 pixel xyxy (unclipped ok);
+    valid: (B, K) bool. Same semantics as ops.mosaic.mosaic_boxes_batch.
 
     Geometries outside the kernel's native envelope (H not a multiple of 8
-    or < 128; W not a multiple of 128 — portrait frames, 480/640-class
+    or < 128; W*C not a multiple of 128 — portrait frames, 480/640-class
     widths) are PADDED to it and cropped back: two contiguous frame copies
     instead of the XLA scan fallback's O(K * H * W) per-box remap passes.
     Boxes are clipped to the ORIGINAL frame before padding — the kernel's
     own clip would clip to the padded extent, changing a spilling box's
     extent and with it the composed pixelation table. Only a mosaic level
-    beyond the kernel's lookback budget (2*level + 2 > PAD) still falls
-    back to the XLA path.
+    beyond the kernel's lookback budget (2*level + 2 > PAD) or a channel
+    count outside {1, 3} still falls back to the XLA path.
     """
     b, h, w, c = frames.shape
-    if c != 3 or 2 * level + 2 > PAD:
+    if c not in (1, 3) or 2 * level + 2 > PAD:
         return mosaic_boxes_batch(frames, boxes, valid, level)
-    if pallas_mosaic_supported(h, w, level):
+    if pallas_mosaic_supported(h, w, level, c):
         out = mosaic_boxes_batch_pallas_flat(
-            frames.reshape(b, h, w * 3), boxes, valid, w, level,
-            interpret=interpret,
+            frames.reshape(b, h, w * c), boxes, valid, w, level,
+            interpret=interpret, channels=c,
         )
-        return out.reshape(b, h, w, 3)
+        return out.reshape(b, h, w, c)
     # Pad-to-envelope. Sources of every output pixel lie inside its own box
     # (composed table offsets are in [0, extent)), so once boxes are clipped
     # to the original H x W the padded rows/cols are never read as sources
     # and never written — the crop returns exactly the native result.
     ph = max(STRIP, ((h + 7) // 8) * 8)
-    pw = ((w + 127) // 128) * 128
+    # Smallest W grain g with (g*C) % 128 == 0: 128 / gcd(C, 128).
+    lane_w = 128 // math.gcd(c, 128)
+    pw = ((w + lane_w - 1) // lane_w) * lane_w
     cboxes = jnp.stack(
         [
             jnp.clip(boxes[..., 0], 0, w),
@@ -377,10 +389,31 @@ def mosaic_boxes_batch_pallas(
     )
     padded = jnp.pad(frames, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
     out = mosaic_boxes_batch_pallas_flat(
-        padded.reshape(b, ph, pw * 3), cboxes, valid, pw, level,
-        interpret=interpret,
+        padded.reshape(b, ph, pw * c), cboxes, valid, pw, level,
+        interpret=interpret, channels=c,
     )
-    return out.reshape(b, ph, pw, 3)[:, :h, :w, :]
+    return out.reshape(b, ph, pw, c)[:, :h, :w, :]
+
+
+def mosaic_i420_batch_pallas(
+    yuv: jax.Array,
+    boxes: jax.Array,
+    valid: jax.Array,
+    level: int = DEFAULT_MOSAIC_LEVEL,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas mosaic on planar I420 frames (B, H*3/2, W) — no RGB roundtrip.
+
+    Same plane decomposition as ops.mosaic.mosaic_i420_batch (Y at full res,
+    U|V stacked side by side at level//2 with halved boxes), with each plane
+    going through the strip kernel: the Y pass touches 1 byte/px instead of
+    the interleaved RGB kernel's 3, and the chroma pass adds only 1/2.
+    """
+
+    def plane_fn(frames, bxs, ok, lvl):
+        return mosaic_boxes_batch_pallas(frames, bxs, ok, lvl, interpret)
+
+    return mosaic_i420_batch(yuv, boxes, valid, level, plane_fn=plane_fn)
 
 
 def mosaic_boxes_batch_pallas_flat(
@@ -390,20 +423,23 @@ def mosaic_boxes_batch_pallas_flat(
     width: int,
     level: int = DEFAULT_MOSAIC_LEVEL,
     interpret: bool = False,
+    channels: int = 3,
 ) -> jax.Array:
-    """Same kernel over channel-interleaved (B, H, W*3) uint8 rows.
+    """Same kernel over channel-interleaved (B, H, W*C) uint8 rows.
 
     The flat form is the kernel's native operand layout (row-major
     {2,1,0}); keeping the surrounding jitted program in this shape lets
     XLA's layout assignment satisfy the custom call's operand constraint at
     the program entry instead of inserting full-frame layout copies around
     the call (profiled 5 x ~790 MB copies per batch-128 iteration,
-    benchmarks/profiles/r3b). Callers must ensure
-    ``pallas_mosaic_supported(H, width)`` themselves.
+    benchmarks/profiles/r3b). ``channels=1`` runs the kernel on a single
+    plane (B, H, W) — the YUV420 path mosaics Y/U/V planes directly.
+    Callers must ensure ``pallas_mosaic_supported(H, width, level,
+    channels)`` themselves.
     """
     b, h, w3 = flat.shape
     w = width
-    assert w3 == 3 * w, (w3, w)
+    assert w3 == channels * w, (w3, w, channels)
     k = boxes.shape[1]
     maxdim = max(h, w)
     table = jnp.asarray(composed_mosaic_table(level, maxdim), jnp.int32)
@@ -457,16 +493,18 @@ def mosaic_boxes_batch_pallas_flat(
         colpix[None, None, :] < x2[..., None]
     )
     csrc_pix = jnp.where(in_x, x1[..., None] + xoff, colpix[None, None, :])
-    chan = jnp.arange(3, dtype=jnp.int32)
+    chan = jnp.arange(channels, dtype=jnp.int32)
     # float32 on purpose: the kernel broadcasts this row with an MXU outer
     # product (values < 2^24, exact in f32).
     csrc = (
-        (csrc_pix[..., None] * 3 + chan[None, None, None, :])
+        (csrc_pix[..., None] * channels + chan[None, None, None, :])
         .reshape(b, k, w3)
         .astype(jnp.float32)
     )
 
-    kernel = functools.partial(_mosaic_kernel, height=h, width=w)
+    kernel = functools.partial(
+        _mosaic_kernel, height=h, width=w, channels=channels
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b,),
