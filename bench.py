@@ -14,6 +14,7 @@ Prints ONE JSON line:
      "device_fps_sync_b<B>": N, "flops_per_frame": N, "mfu": N,
      "fused_fps": N, "fused_device_fps": N, "fused_device_fps_b<B>": N,
      "fused_device_fps_nobox": N, "fused_device_fps_typical": N,
+     "fused_device_fps_yuv": N,
      "typical_conf": [f, p], "link_h2d_mbps": N}
 
 (`benchmarks/stage_breakdown.py` decomposes one e2e cycle per stage.)
@@ -239,6 +240,7 @@ def main() -> None:
     fused_device_fps_small = None
     fused_device_fps_nobox = None
     fused_device_fps_typical = None
+    fused_device_fps_yuv = None
     typical_conf = None
     if os.environ.get("BENCH_FUSED", "1") == "1":
         from video_desensitization_tpu.pipeline.engine import (
@@ -281,6 +283,36 @@ def main() -> None:
         fd_iters = max(1, int(os.environ.get("BENCH_FUSED_DEVICE_ITERS", "4")))
         fused_device_fps_small = _fused_device(batch, fd_iters)
         fused_device_fps = _fused_device(dev_batch, fd_iters)
+
+        # fused_device_fps_yuv: the planar-YUV IO variant of the same fused
+        # program (detect on a bit-exact device I420->RGB conversion, mosaic
+        # applied per plane) — the deployment shape that HALVES link bytes:
+        # I420 is 1.5 B/px both ways vs RGB's 3 (see cli.main threshold
+        # derivation). Same worst-case box load, device-resident, pipelined.
+        if os.environ.get("BENCH_FUSED_YUV", "1") == "1":
+            from video_desensitization_tpu.ops.yuv import rgb_to_i420_host
+
+            if engine._yuv_program is None:
+                engine._yuv_program = engine._finalize_program(
+                    engine._build_program(yuv=True)
+                )
+            reps = int(np.ceil(dev_batch / frames.shape[0]))
+            stack = np.concatenate([frames] * reps)[:dev_batch]
+            yuv_stack = np.stack([rgb_to_i420_host(f) for f in stack])
+            fr_y = jnp.asarray(yuv_stack)
+            sh_y = jnp.asarray(np.tile(frame_shape_row, (dev_batch, 1)))
+            out = engine._yuv_program(face.variables, plate_vars, fr_y, sh_y)
+            np.asarray(out[2][:1])  # compile + warm
+            t0 = time.perf_counter()
+            outs = [
+                engine._yuv_program(face.variables, plate_vars, fr_y, sh_y)
+                for _ in range(fd_iters)
+            ]
+            for o in outs:
+                np.asarray(o[2][:1])
+            fused_device_fps_yuv = (
+                fd_iters * dev_batch / (time.perf_counter() - t0)
+            )
 
         # fused_device_fps_nobox: the same fused program with confidence
         # above any possible score, so NMS keeps nothing and the mosaic
@@ -398,6 +430,11 @@ def main() -> None:
                 "fused_device_fps_nobox": (
                     round(fused_device_fps_nobox, 2)
                     if fused_device_fps_nobox
+                    else None
+                ),
+                "fused_device_fps_yuv": (
+                    round(fused_device_fps_yuv, 2)
+                    if fused_device_fps_yuv
                     else None
                 ),
                 "fused_device_fps_typical": (

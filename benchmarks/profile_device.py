@@ -37,7 +37,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_engine(batch: int):
+def build_engine(batch: int, yuv: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -62,17 +62,26 @@ def build_engine(batch: int):
     engine = DesensitizationEngine(face, plate)
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (batch, 1080, 1920, 3), dtype=np.uint8)
-    # engine programs take channel-interleaved flat (B, H, W*3) rows
-    fr = jnp.asarray(frames.reshape(batch, 1080, 1920 * 3))
+    if yuv:
+        from video_desensitization_tpu.ops.yuv import rgb_to_i420_host
+
+        engine._yuv_program = engine._finalize_program(
+            engine._build_program(yuv=True)
+        )
+        fr = jnp.asarray(np.stack([rgb_to_i420_host(f) for f in frames]))
+    else:
+        # engine programs take channel-interleaved flat (B, H, W*3) rows
+        fr = jnp.asarray(frames.reshape(batch, 1080, 1920 * 3))
     sh = jnp.asarray(np.tile(np.array([[1080.0, 1920.0]], np.float32), (batch, 1)))
     return engine, face, plate, fr, sh
 
 
-def capture(out_dir: str, batch: int, iters: int) -> float:
+def capture(out_dir: str, batch: int, iters: int, yuv: bool = False) -> float:
     import jax
 
-    engine, face, plate, fr, sh = build_engine(batch)
-    run = lambda: engine._program(face.variables, plate.variables, fr, sh)
+    engine, face, plate, fr, sh = build_engine(batch, yuv)
+    prog = engine._yuv_program if yuv else engine._program
+    run = lambda: prog(face.variables, plate.variables, fr, sh)
     np.asarray(run()[2][:1])  # compile + warm
     # timed (unprofiled) pipelined reference rate
     t0 = time.perf_counter()
@@ -120,12 +129,17 @@ def main():
     ap.add_argument("--out", default="benchmarks/profiles/r3")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--analyze-only", action="store_true")
+    ap.add_argument(
+        "--yuv",
+        action="store_true",
+        help="profile the planar-YUV IO variant of the fused program",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     fps = None
     if not args.analyze_only:
-        fps = capture(args.out, args.batch, args.iters)
+        fps = capture(args.out, args.batch, args.iters, yuv=args.yuv)
         print(f"pipelined device rate during capture session: {fps:.1f} fps")
 
     cols, rows = analyze(args.out, args.top)

@@ -248,3 +248,45 @@ def test_i420_mosaic_commutes_with_colorspace_on_even_grid():
     b = cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB_I420)
     b = mosaic_host_reference(b, boxes, 8)
     np.testing.assert_array_equal(a, b)
+
+
+def test_engine_yuv_mode_bitwise():
+    """process_batch_yuv: detections must equal the RGB path fed the same
+    cv2-roundtripped pixels (the device I420->RGB is bit-exact cv2), and
+    the blurred planes must equal the per-plane host oracle applied with
+    the program's own boxes."""
+    import cv2
+    import jax.numpy as jnp
+
+    from video_desensitization_tpu.detect.face import Retinaface
+    from video_desensitization_tpu.ops.mosaic import mosaic_i420_host_inplace
+    from video_desensitization_tpu.ops.yuv import rgb_to_i420_host
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.01,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.float32,
+    )
+    eng = DesensitizationEngine(face, None, mosaic_level=8)
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 255, (2, 96, 160, 3), dtype=np.uint8)
+    yuv = np.stack([rgb_to_i420_host(f) for f in frames])
+    rgb_rt = np.stack(
+        [cv2.cvtColor(y, cv2.COLOR_YUV2RGB_I420) for y in yuv]
+    )
+
+    a = eng.process_batch_yuv(yuv)
+    b = eng.process_batch(rgb_rt)
+
+    assert a.frames.shape == yuv.shape and a.frames.dtype == np.uint8
+    assert a.num_faces == b.num_faces
+    for i in range(2):
+        np.testing.assert_allclose(a.face_boxes[i], b.face_boxes[i])
+        kept = [[int(c) for c in box] for box in a.face_boxes[i]]
+        want = mosaic_i420_host_inplace(yuv[i].copy(), kept, 8)
+        np.testing.assert_array_equal(a.frames[i], want)

@@ -177,3 +177,19 @@ def test_i420_pallas_bitwise_vs_host_oracle():
         kept = [b for b, v in zip(bl, valid[i]) if v]
         want = mosaic_i420_host_inplace(yuv[i].copy(), kept, 8)
         np.testing.assert_array_equal(out[i], want)
+
+
+def test_two_channel_interleaved_parity():
+    """channels=2: interleaved U|V chroma — one box list mosaics both
+    channels; each channel must match the single-channel host oracle."""
+    f = np.random.default_rng(17).integers(0, 255, (H, W, 2), dtype=np.uint8)
+    bl = CASES["overlapping"]
+    boxes = np.array([bl + [[0, 0, 0, 0]] * 6], np.int32)
+    valid = np.array([[True] * 2 + [False] * 6])
+    out = np.asarray(
+        mosaic_boxes_batch_pallas(f[None], boxes, valid, 4, interpret=True)
+    )[0]
+    for ch in range(2):
+        np.testing.assert_array_equal(
+            out[..., ch], mosaic_host_reference(f[..., ch], bl, 4)
+        )

@@ -101,9 +101,9 @@ def test_pallas_mosaic_padded_envelope_on_hardware():
 
 
 def test_pallas_mosaic_i420_on_hardware():
-    """The planar-YUV mosaic (Y full-res, U|V stacked at level//2) compiled
-    on chip is bitwise vs the per-plane cv2 oracle at 1080p — the fused
-    engine's yuv420 IO path."""
+    """The planar-YUV mosaic (Y full-res, U|V channel-interleaved at
+    level//2) compiled on chip is bitwise vs the per-plane cv2 oracle at
+    1080p — the fused engine's yuv420 IO path."""
     from video_desensitization_tpu.ops.mosaic import mosaic_i420_host_inplace
     from video_desensitization_tpu.ops.pallas_mosaic import (
         mosaic_i420_batch_pallas,
@@ -142,6 +142,38 @@ def test_engine_backends_agree_on_hardware():
     a = DesensitizationEngine(face, None, mosaic_backend="pallas").process_batch(frames)
     b = DesensitizationEngine(face, None, mosaic_backend="xla").process_batch(frames)
     np.testing.assert_array_equal(a.frames, b.frames)
+
+
+def test_engine_yuv_mode_on_hardware():
+    """process_batch_yuv with the Pallas mosaic backend, compiled on chip:
+    blurred planes must equal the per-plane cv2 oracle at the program's own
+    detections."""
+    import jax.numpy as jnp
+
+    from video_desensitization_tpu.detect.face import Retinaface
+    from video_desensitization_tpu.ops.mosaic import mosaic_i420_host_inplace
+    from video_desensitization_tpu.ops.yuv import rgb_to_i420_host
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[256, 256, 3],
+        confidence=0.3,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.bfloat16,
+    )
+    eng = DesensitizationEngine(face, None, mosaic_backend="pallas")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 512, 896, 3), dtype=np.uint8)
+    yuv = np.stack([rgb_to_i420_host(f) for f in frames])
+    res = eng.process_batch_yuv(yuv)
+    assert res.frames.shape == yuv.shape
+    for i in range(2):
+        kept = [[int(c) for c in box] for box in res.face_boxes[i]]
+        want = mosaic_i420_host_inplace(yuv[i].copy(), kept, 8)
+        np.testing.assert_array_equal(res.frames[i], want)
 
 
 def test_tiered_yuv420_program_on_hardware():

@@ -163,3 +163,62 @@ def test_batch_convert_videos_and_codec_probe(tmp_path):
     probe = check_available_codecs()
     assert probe["mpeg4"] is True
     assert isinstance(check_h265_support(), bool)
+
+
+@needs_native
+def test_i420_encode_decode_roundtrip(tmp_path):
+    """write_i420 -> read_i420: the zero-RGB-pass transport for the fused
+    engine's yuv420 mode. Planes must come back close (lossy codec) and
+    shaped (H*3/2, W)."""
+    rng = np.random.default_rng(5)
+    h, w, n = 96, 128, 6
+    # Smooth frames so x265's loss stays small.
+    base = np.linspace(40, 200, h * 3 // 2, dtype=np.uint8)[:, None]
+    frames = [
+        np.clip(np.broadcast_to(base, (h * 3 // 2, w)) + i * 5, 0, 255).astype(
+            np.uint8
+        )
+        for i in range(n)
+    ]
+    p = str(tmp_path / "t_i420.h265")
+    with VideoEncoder(p, w, h, fps=30, codec="libx265") as e:
+        for f in frames:
+            e.write_i420(f)
+    with VideoDecoder(p) as dec:
+        got = []
+        while True:
+            f = dec.read_i420()
+            if f is None:
+                break
+            got.append(f)
+    assert len(got) == n
+    assert got[0].shape == (h * 3 // 2, w)
+    for a, b in zip(got, frames):
+        assert float(np.abs(a.astype(np.int16) - b.astype(np.int16)).mean()) < 4.0
+
+
+@needs_native
+def test_read_i420_matches_rgb_iterator(tmp_path):
+    """Decoding the same stream as I420 vs RGB must agree up to colorspace
+    rounding (sws RGB24 conversion vs cv2's — both video-range BT.601)."""
+    import cv2
+
+    frames = _gradient_frames()
+    p = str(tmp_path / "t_cmp.mp4")
+    with VideoEncoder(p, 128, 96, fps=30, codec="libx264") as e:
+        for f in frames:
+            e.write(f)
+    with VideoDecoder(p) as d1:
+        rgbs = list(d1)
+    with VideoDecoder(p) as d2:
+        yuvs = []
+        while True:
+            f = d2.read_i420()
+            if f is None:
+                break
+            yuvs.append(f)
+    assert len(rgbs) == len(yuvs)
+    for rgb, yuv in zip(rgbs, yuvs):
+        back = cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB_I420)
+        diff = np.abs(back.astype(np.int16) - rgb.astype(np.int16))
+        assert float(diff.mean()) < 2.0 and int(diff.max()) <= 12

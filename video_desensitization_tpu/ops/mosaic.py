@@ -190,10 +190,14 @@ def mosaic_i420_batch(
     cv2 BGR decode). The Y plane uses the full-res boxes and ``level``; the
     chroma planes use half-res boxes (``chroma_boxes``) at ``level // 2``,
     which reproduces the full-res block grid at chroma resolution (same
-    number of blocks per box). U and V are stacked side by side into one
-    (H/2, W) plane and processed in a single pass with duplicated boxes.
+    number of blocks per box). U and V are INTERLEAVED on the channel axis
+    — (B, H/2, W/2, 2) — so one pass with ONE box list covers both planes;
+    the Pallas kernel's per-box work is serial, and profiling the earlier
+    side-by-side stacking (duplicated boxes) showed the chroma pass costing
+    as much as the full-res Y pass purely from the doubled box count
+    (benchmarks/profiles/r3yuv).
 
-    plane_fn: the (B, H, W, 1)-plane mosaic backend; defaults to the XLA
+    plane_fn: the (B, H, W, C)-plane mosaic backend; defaults to the XLA
     ``mosaic_boxes_batch`` (the Pallas twin lives in ops.pallas_mosaic).
     """
     if plane_fn is None:
@@ -208,27 +212,11 @@ def mosaic_i420_batch(
     y_out = plane_fn(y[..., None], boxes, valid, level)[..., 0]
 
     cb = chroma_boxes(boxes)
-    # Clip to the HALF plane before stacking: the stacked plane is 2x wider,
-    # so a spilling U box would otherwise clip against the V half's far edge,
-    # bleed across the seam, and change its extent (hence its block table).
-    cb = jnp.stack(
-        [
-            jnp.clip(cb[..., 0], 0, w // 2),
-            jnp.clip(cb[..., 1], 0, h // 2),
-            jnp.clip(cb[..., 2], 0, w // 2),
-            jnp.clip(cb[..., 3], 0, h // 2),
-        ],
-        axis=-1,
-    )
-    voff = jnp.array([w // 2, 0, w // 2, 0], jnp.int32)
-    stacked = jnp.concatenate([u, v], axis=2)  # (B, H/2, W): U left, V right
-    cboxes = jnp.concatenate([cb, cb + voff], axis=1)
-    cvalid = jnp.concatenate([valid, valid], axis=1)
     clevel = max(1, level // 2)
-    c_out = plane_fn(stacked[..., None], cboxes, cvalid, clevel)[..., 0]
+    c_out = plane_fn(jnp.stack([u, v], axis=-1), cb, valid, clevel)
 
-    u_out = c_out[:, :, : w // 2].reshape(b, h // 4, w)
-    v_out = c_out[:, :, w // 2 :].reshape(b, h // 4, w)
+    u_out = c_out[..., 0].reshape(b, h // 4, w)
+    v_out = c_out[..., 1].reshape(b, h // 4, w)
     return jnp.concatenate([y_out, u_out, v_out], axis=1)
 
 

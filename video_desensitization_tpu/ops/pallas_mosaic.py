@@ -347,9 +347,10 @@ def mosaic_boxes_batch_pallas(
 ) -> jax.Array:
     """Pallas mosaic over an NHWC uint8 batch.
 
-    frames: (B, H, W, C) uint8 with C in {1, 3} (C=1 mosaics a bare plane —
-    the YUV420 path); boxes: (B, K, 4) int32 pixel xyxy (unclipped ok);
-    valid: (B, K) bool. Same semantics as ops.mosaic.mosaic_boxes_batch.
+    frames: (B, H, W, C) uint8 with C in {1, 2, 3} (C=1 mosaics a bare
+    plane, C=2 interleaved U|V chroma — the YUV420 path); boxes: (B, K, 4)
+    int32 pixel xyxy (unclipped ok); valid: (B, K) bool. Same semantics as
+    ops.mosaic.mosaic_boxes_batch.
 
     Geometries outside the kernel's native envelope (H not a multiple of 8
     or < 128; W*C not a multiple of 128 — portrait frames, 480/640-class
@@ -359,10 +360,10 @@ def mosaic_boxes_batch_pallas(
     own clip would clip to the padded extent, changing a spilling box's
     extent and with it the composed pixelation table. Only a mosaic level
     beyond the kernel's lookback budget (2*level + 2 > PAD) or a channel
-    count outside {1, 3} still falls back to the XLA path.
+    count outside {1, 2, 3} still falls back to the XLA path.
     """
     b, h, w, c = frames.shape
-    if c not in (1, 3) or 2 * level + 2 > PAD:
+    if c not in (1, 2, 3) or 2 * level + 2 > PAD:
         return mosaic_boxes_batch(frames, boxes, valid, level)
     if pallas_mosaic_supported(h, w, level, c):
         out = mosaic_boxes_batch_pallas_flat(
@@ -404,10 +405,11 @@ def mosaic_i420_batch_pallas(
 ) -> jax.Array:
     """Pallas mosaic on planar I420 frames (B, H*3/2, W) — no RGB roundtrip.
 
-    Same plane decomposition as ops.mosaic.mosaic_i420_batch (Y at full res,
-    U|V stacked side by side at level//2 with halved boxes), with each plane
-    going through the strip kernel: the Y pass touches 1 byte/px instead of
-    the interleaved RGB kernel's 3, and the chroma pass adds only 1/2.
+    Same plane decomposition as ops.mosaic.mosaic_i420_batch (Y at full res;
+    U and V channel-interleaved at level//2 with halved boxes — one box list,
+    not two), with each plane going through the strip kernel: the Y pass
+    touches 1 byte/px instead of the interleaved RGB kernel's 3, and the
+    chroma pass adds only 1/2.
     """
 
     def plane_fn(frames, bxs, ok, lvl):

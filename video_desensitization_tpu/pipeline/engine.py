@@ -35,7 +35,8 @@ from video_desensitization_tpu.parallel.mesh import (
 
 @dataclasses.dataclass
 class EngineResult:
-    frames: np.ndarray  # blurred uint8 (B, H, W, 3)
+    frames: np.ndarray  # blurred uint8: (B, H, W, 3) RGB, or (B, H*3/2, W)
+    # planar I420 when produced by process_batch_yuv
     face_boxes: list  # per-image list of [x1, y1, x2, y2] float pixel boxes
     plate_boxes: list
     num_faces: int
@@ -67,7 +68,10 @@ class DesensitizationEngine:
             mosaic_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.mosaic_backend = mosaic_backend
         self.anonymizer = anonymizer
-        program = self._build_program()
+        self._program = self._finalize_program(self._build_program())
+        self._yuv_program = None  # built on first process_batch_yuv
+
+    def _finalize_program(self, program):
         if self.mesh is not None:
             # Collective-free data parallelism: each chip blurs its shard of
             # frames locally (see parallel.mesh.data_parallel_program).
@@ -76,9 +80,9 @@ class DesensitizationEngine:
             program = data_parallel_program(
                 self.mesh, program, n_params=2, n_batch_args=2, n_out=5
             )
-        self._program = jax.jit(program)
+        return jax.jit(program)
 
-    def _build_program(self):
+    def _build_program(self, yuv: bool = False):
         face = self.face
         plate = self.plate
         level = self.mosaic_level
@@ -102,14 +106,58 @@ class DesensitizationEngine:
 
             pallas_flat = (mosaic_boxes_batch_pallas_flat, pallas_mosaic_supported)
 
+        yuv_mosaic = None
+        if yuv:
+            from video_desensitization_tpu.ops.mosaic import (
+                gaussian_blur_boxes,
+                mosaic_i420_batch,
+            )
+
+            if self.anonymizer == "gaussian":
+                # Blur each plane: Gaussian blending commutes with the affine
+                # YUV<->RGB map; the chroma pass scales sigma/radius by the
+                # lvl ratio so the full-res blur footprint matches Y's.
+                def plane_fn(f, bx, vl, lvl, _lev=level):
+                    s = lvl / max(1, _lev)
+                    return gaussian_blur_boxes(
+                        f, bx, vl, sigma=6.0 * s,
+                        kernel_radius=max(1, round(12 * s)),
+                    )
+
+                yuv_mosaic = lambda fr, bx, vl: mosaic_i420_batch(
+                    fr, bx, vl, level, plane_fn=plane_fn
+                )
+            elif self.mosaic_backend == "pallas":
+                from video_desensitization_tpu.ops.pallas_mosaic import (
+                    mosaic_i420_batch_pallas,
+                )
+
+                yuv_mosaic = lambda fr, bx, vl: mosaic_i420_batch_pallas(
+                    fr, bx, vl, level
+                )
+            else:
+                yuv_mosaic = lambda fr, bx, vl: mosaic_i420_batch(
+                    fr, bx, vl, level
+                )
+
         def program(face_vars, plate_vars, frames_flat, image_shapes):
-            # frames_flat: (B, H, W*3) channel-interleaved uint8. The flat
-            # shape is the Pallas mosaic's native row-major operand layout;
-            # tracing the whole program in it keeps XLA from inserting
-            # full-frame layout copies around the kernel (profiles/r3b).
-            b, h, w3 = frames_flat.shape
-            w = w3 // 3
-            frames_u8 = frames_flat.reshape(b, h, w, 3)
+            # frames_flat: (B, H, W*3) channel-interleaved uint8 — or, in
+            # yuv mode, (B, H*3/2, W) planar I420. The flat shape is the
+            # Pallas mosaic's native row-major operand layout; tracing the
+            # whole program in it keeps XLA from inserting full-frame layout
+            # copies around the kernel (profiles/r3b).
+            if yuv:
+                from video_desensitization_tpu.ops.yuv import i420_to_rgb_u8
+
+                b, h15, w = frames_flat.shape
+                h = (h15 * 2) // 3
+                # Bit-exact cv2 conversion: detectors see the same pixels a
+                # host cv2 pipeline would (tests/test_yuv.py, exhaustive).
+                frames_u8 = i420_to_rgb_u8(frames_flat, h, w)
+            else:
+                b, h, w3 = frames_flat.shape
+                w = w3 // 3
+                frames_u8 = frames_flat.reshape(b, h, w, 3)
             face_dets, face_px, face_keep = face._detect_program(
                 face_vars, frames_u8, image_shapes
             )
@@ -125,15 +173,64 @@ class DesensitizationEngine:
                 plate_px = jnp.zeros((frames_u8.shape[0], 1, 6), jnp.float32)
                 plate_keep = jnp.zeros((frames_u8.shape[0], 1), bool)
                 boxes, valid = fboxes, face_keep
-            if pallas_flat is not None and pallas_flat[1](h, w, level):
+            if yuv:
+                blurred = yuv_mosaic(frames_flat, boxes, valid)
+            elif pallas_flat is not None and pallas_flat[1](h, w, level):
                 blurred = pallas_flat[0](frames_flat, boxes, valid, w, level)
             else:
                 blurred = mosaic_fn(frames_u8, boxes, valid, level).reshape(
-                    b, h, w3
+                    b, h, w * 3
                 )
             return blurred, face_px, face_keep, plate_px, plate_keep
 
         return program
+
+    def process_batch_yuv(
+        self, yuv_frames: np.ndarray, image_shapes: Optional[np.ndarray] = None
+    ) -> EngineResult:
+        """Planar-YUV IO: half the link bytes of the RGB path, no colorspace
+        roundtrip for the untouched pixels.
+
+        yuv_frames: uint8 (B, H*3/2, W) planar I420 at native resolution —
+        what a video decoder emits. Detectors run on a bit-exact cv2-style
+        I420->RGB conversion on device; the mosaic is applied directly to
+        the planes (Y full-res, U/V at half res — ops.mosaic.
+        mosaic_i420_batch). ``EngineResult.frames`` is blurred I420 of the
+        same shape, ready for an encoder.
+        """
+        b, h15, w = yuv_frames.shape
+        h = (h15 * 2) // 3
+        if image_shapes is None:
+            image_shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+        if self._yuv_program is None:
+            self._yuv_program = self._finalize_program(
+                self._build_program(yuv=True)
+            )
+        orig_b = b
+        frames_in = np.ascontiguousarray(yuv_frames)
+        shapes_in = image_shapes
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            frames_in, _ = pad_batch_to_devices(frames_in, n)
+            shapes_in, _ = pad_batch_to_devices(image_shapes, n)
+            frames_in = jax.device_put(frames_in, batch_sharding(self.mesh, 3))
+            shapes_in = jax.device_put(shapes_in, batch_sharding(self.mesh, 2))
+
+        plate_vars = self.plate.variables if self.plate is not None else None
+        blurred, face_px, face_keep, plate_px, plate_keep = self._yuv_program(
+            self.face.variables,
+            plate_vars,
+            jnp.asarray(frames_in),
+            jnp.asarray(shapes_in),
+        )
+        return self._gather_result(
+            np.asarray(blurred)[:orig_b],
+            face_px,
+            face_keep,
+            plate_px,
+            plate_keep,
+            orig_b,
+        )
 
     def process_batch(
         self, frames: np.ndarray, image_shapes: Optional[np.ndarray] = None
@@ -160,7 +257,18 @@ class DesensitizationEngine:
         blurred, face_px, face_keep, plate_px, plate_keep = self._program(
             self.face.variables, plate_vars, jnp.asarray(frames_in), jnp.asarray(shapes_in)
         )
-        blurred = np.asarray(blurred)[:orig_b].reshape(orig_b, h, w, 3)
+        return self._gather_result(
+            np.asarray(blurred)[:orig_b].reshape(orig_b, h, w, 3),
+            face_px,
+            face_keep,
+            plate_px,
+            plate_keep,
+            orig_b,
+        )
+
+    def _gather_result(
+        self, frames, face_px, face_keep, plate_px, plate_keep, orig_b
+    ) -> EngineResult:
         face_px = np.asarray(face_px)[:orig_b]
         face_keep = np.asarray(face_keep)[:orig_b]
         plate_px = np.asarray(plate_px)[:orig_b]
@@ -171,7 +279,7 @@ class DesensitizationEngine:
             plate_px[i][plate_keep[i]][:, :4].tolist() for i in range(orig_b)
         ]
         return EngineResult(
-            frames=blurred,
+            frames=frames,
             face_boxes=face_boxes,
             plate_boxes=plate_boxes,
             num_faces=int(face_keep.sum()),

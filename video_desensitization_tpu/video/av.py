@@ -67,6 +67,7 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.vdt_decoder_next_i420.argtypes = lib.vdt_decoder_next.argtypes
     lib.vdt_decoder_close.argtypes = [ctypes.c_void_p]
     lib.vdt_encoder_open.restype = ctypes.c_void_p
     lib.vdt_encoder_open.argtypes = [
@@ -79,6 +80,7 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p,
     ]
     lib.vdt_encoder_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.vdt_encoder_write_i420.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.vdt_encoder_close.argtypes = [ctypes.c_void_p]
     lib.vdt_demux_open.restype = ctypes.c_void_p
     lib.vdt_demux_open.argtypes = [ctypes.c_char_p]
@@ -187,6 +189,51 @@ class VideoDecoder:
             raise StopIteration
         return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
 
+    def read_i420(self) -> "np.ndarray | None":
+        """Next frame as planar I420 (H*3/2, W) uint8, or None at EOF.
+
+        The zero-conversion transport for the fused engine's yuv420 IO mode:
+        HEVC camera frames are yuv420p natively, so the native path is a
+        plane copy (no sws RGB pass). Falls back to the RGB iterator + cv2
+        conversion when the native library is unavailable, and raises for
+        odd-dimensioned streams (no I420 form — use the RGB iterator)."""
+        if self._h is not None:
+            cap = self.height * self.width * 3 // 2
+            if cap == 0:
+                gh, gw = self._initial_guess_hw
+                cap = gh * gw * 3 // 2
+            slack = 256
+            out_w = ctypes.c_int()
+            out_h = ctypes.c_int()
+            buf = np.empty((cap + slack,), np.uint8)
+            rc = self._lib.vdt_decoder_next_i420(
+                self._h, buf.ctypes.data, cap, out_w, out_h
+            )
+            if rc == -3:  # frame exceeds buffer: retry with exact capacity
+                cap = out_w.value * out_h.value * 3 // 2
+                buf = np.empty((cap + slack,), np.uint8)
+                rc = self._lib.vdt_decoder_next_i420(
+                    self._h, buf.ctypes.data, cap, out_w, out_h
+                )
+            if rc == 0:
+                return None
+            if rc < 0:
+                raise IOError(self._lib.vdt_last_error().decode())
+            w, h = out_w.value, out_h.value
+            self.width, self.height = w, h
+            return buf[: h * 3 // 2 * w].reshape(h * 3 // 2, w)
+        try:
+            frame = next(self)
+        except StopIteration:
+            return None
+        import cv2
+
+        if (frame.shape[0] | frame.shape[1]) & 1:
+            raise IOError(
+                f"I420 needs even dims, got {frame.shape[1]}x{frame.shape[0]}"
+            )
+        return cv2.cvtColor(frame, cv2.COLOR_RGB2YUV_I420)
+
     def close(self):
         if self._h is not None:
             self._lib.vdt_decoder_close(self._h)
@@ -277,6 +324,24 @@ class VideoEncoder:
             import cv2
 
             self._writer.write(cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR))
+
+    def write_i420(self, frame_yuv: np.ndarray):
+        """Write a planar I420 (H*3/2, W) uint8 frame — the fused engine's
+        yuv420 output, straight into the yuv420p encoder with no RGB pass."""
+        frame_yuv = np.ascontiguousarray(frame_yuv, np.uint8)
+        if frame_yuv.shape != (self.height * 3 // 2, self.width):
+            raise ValueError(
+                f"expected I420 ({self.height * 3 // 2}, {self.width}), "
+                f"got {frame_yuv.shape}"
+            )
+        if self._h is not None:
+            rc = self._lib.vdt_encoder_write_i420(self._h, frame_yuv.ctypes.data)
+            if rc < 0:
+                raise IOError(self._lib.vdt_last_error().decode())
+        else:
+            import cv2
+
+            self._writer.write(cv2.cvtColor(frame_yuv, cv2.COLOR_YUV2BGR_I420))
 
     def close(self):
         if self._h is not None:

@@ -107,14 +107,9 @@ extern "C" int vdt_decoder_info(VdtDecoder *d, int *w, int *h, double *fps,
     return 0;
 }
 
-// Returns 1 when a frame was written to rgb_out (out_h*out_w*3, row-major),
-// 0 at EOF, -3 when the decoded frame exceeds `capacity` bytes (the frame is
-// retained; query the new dims via out_w/out_h or vdt_decoder_info, grow the
-// buffer and call again), other <0 on error. `capacity` is the writable size
-// of rgb_out in bytes — the decoder never writes past it (a stream larger
-// than the caller's buffer must fail cleanly, not corrupt memory).
-extern "C" int vdt_decoder_next(VdtDecoder *d, uint8_t *rgb_out,
-                                int64_t capacity, int *out_w, int *out_h) {
+// Pull the next decoded frame into d->frame (idempotent while d->have_frame
+// is set). Returns 1 on frame, 0 at EOF, -1 on error.
+static int decoder_acquire(VdtDecoder *d) {
     int err;
     if (!d->have_frame) {
         while (true) {
@@ -167,6 +162,19 @@ extern "C" int vdt_decoder_next(VdtDecoder *d, uint8_t *rgb_out,
         }
         d->have_frame = true;
     }
+    return 1;
+}
+
+// Returns 1 when a frame was written to rgb_out (out_h*out_w*3, row-major),
+// 0 at EOF, -3 when the decoded frame exceeds `capacity` bytes (the frame is
+// retained; query the new dims via out_w/out_h or vdt_decoder_info, grow the
+// buffer and call again), other <0 on error. `capacity` is the writable size
+// of rgb_out in bytes — the decoder never writes past it (a stream larger
+// than the caller's buffer must fail cleanly, not corrupt memory).
+extern "C" int vdt_decoder_next(VdtDecoder *d, uint8_t *rgb_out,
+                                int64_t capacity, int *out_w, int *out_h) {
+    int rc = decoder_acquire(d);
+    if (rc <= 0) return rc;
 
     int w = d->frame->width, h = d->frame->height;
     d->width = w;
@@ -184,6 +192,49 @@ extern "C" int vdt_decoder_next(VdtDecoder *d, uint8_t *rgb_out,
                                   nullptr, nullptr);
     uint8_t *dst[4] = {rgb_out, nullptr, nullptr, nullptr};
     int dst_linesize[4] = {3 * w, 0, 0, 0};
+    sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, h, dst,
+              dst_linesize);
+    av_frame_unref(d->frame);
+    d->have_frame = false;
+    return 1;
+}
+
+// Planar-I420 variant: writes w*h Y bytes then w*h/4 U then w*h/4 V into
+// yuv_out ((h*3/2, w) row-major — the layout the fused engine's yuv420 IO
+// mode ships to the chip). HEVC camera streams decode as yuv420p, so this
+// is a plane copy instead of the RGB24 conversion — and the encoder
+// consumes yuv420p too, removing both host sws colorspace passes. Same
+// contract as vdt_decoder_next; additionally returns -4 for odd frame
+// dimensions (no I420 form; caller falls back to the RGB path).
+extern "C" int vdt_decoder_next_i420(VdtDecoder *d, uint8_t *yuv_out,
+                                     int64_t capacity, int *out_w,
+                                     int *out_h) {
+    int rc = decoder_acquire(d);
+    if (rc <= 0) return rc;
+
+    int w = d->frame->width, h = d->frame->height;
+    d->width = w;
+    d->height = h;
+    if (out_w) *out_w = w;
+    if (out_h) *out_h = h;
+    if ((w | h) & 1) {
+        set_error("I420 needs even dims, got " + std::to_string(w) + "x" +
+                  std::to_string(h));
+        return -4;  // frame retained; caller may switch to vdt_decoder_next
+    }
+    if ((int64_t)3 * w * h / 2 > capacity) {
+        set_error("decoded frame " + std::to_string(w) + "x" +
+                  std::to_string(h) + " exceeds buffer capacity " +
+                  std::to_string(capacity) + " bytes");
+        return -3;
+    }
+    d->sws = sws_getCachedContext(d->sws, w, h, (AVPixelFormat)d->frame->format,
+                                  w, h, AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                                  nullptr, nullptr, nullptr);
+    uint8_t *dst[4] = {yuv_out, yuv_out + (int64_t)w * h,
+                       yuv_out + (int64_t)w * h + (int64_t)(w / 2) * (h / 2),
+                       nullptr};
+    int dst_linesize[4] = {w, w / 2, w / 2, 0};
     sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, h, dst,
               dst_linesize);
     av_frame_unref(d->frame);
@@ -320,6 +371,31 @@ extern "C" int vdt_encoder_write(VdtEncoder *e, const uint8_t *rgb) {
     const uint8_t *src[4] = {rgb, nullptr, nullptr, nullptr};
     int src_linesize[4] = {3 * e->width, 0, 0, 0};
     sws_scale(e->sws, src, src_linesize, 0, e->height, e->frame->data,
+              e->frame->linesize);
+    e->frame->pts = e->next_pts++;
+    int err = avcodec_send_frame(e->codec, e->frame);
+    if (err < 0) {
+        set_error("send_frame failed", err);
+        return -1;
+    }
+    return encoder_drain(e);
+}
+
+// Planar-I420 input variant ((h*3/2, w) row-major, the fused engine's
+// yuv420 output): a plane copy into the yuv420p encoder frame (sws handles
+// the mjpeg yuvj420p full-range expansion case). Requires even dims (true
+// for any I420 buffer by construction).
+extern "C" int vdt_encoder_write_i420(VdtEncoder *e, const uint8_t *yuv) {
+    int w = e->width, h = e->height;
+    e->sws = sws_getCachedContext(e->sws, w, h, AV_PIX_FMT_YUV420P, w, h,
+                                  e->codec->pix_fmt, SWS_BILINEAR, nullptr,
+                                  nullptr, nullptr);
+    av_frame_make_writable(e->frame);
+    const uint8_t *src[4] = {yuv, yuv + (int64_t)w * h,
+                             yuv + (int64_t)w * h + (int64_t)(w / 2) * (h / 2),
+                             nullptr};
+    int src_linesize[4] = {w, w / 2, w / 2, 0};
+    sws_scale(e->sws, src, src_linesize, 0, h, e->frame->data,
               e->frame->linesize);
     e->frame->pts = e->next_pts++;
     int err = avcodec_send_frame(e->codec, e->frame);
