@@ -224,3 +224,71 @@ def test_cli_record_job_end_to_end(tmp_path):
     assert final.exists()
     msgs = list(RecordReader(str(final)).read_messages(topic))
     assert len(msgs) == len(pkts)
+
+
+@needs_native
+def test_stream_yuv420_transport_end_to_end(tmp_path):
+    """transport=yuv420 with a fused engine: decoder I420 ->
+    process_batch_yuv -> encoder I420, no RGB pass anywhere. The output
+    must carry every frame at the source geometry; transport=rgb on the
+    same input must count identical frames (content differs only by the
+    colorspace roundtrip the rgb path performs)."""
+    import jax.numpy as jnp
+
+    from video_desensitization_tpu.detect.face import Retinaface
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+    from video_desensitization_tpu.pipeline.streaming import (
+        process_video_stream,
+    )
+
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.3,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.float32,
+    )
+    engine = DesensitizationEngine(face, None, mosaic_level=8)
+    rng = np.random.default_rng(6)
+    src = str(tmp_path / "in.h265")
+    with VideoEncoder(src, 160, 96, fps=10, codec="libx265",
+                      bitrate=300000, preset="ultrafast") as e:
+        for i in range(6):
+            e.write(rng.integers(0, 255, (96, 160, 3), dtype=np.uint8))
+
+    out_yuv = str(tmp_path / "out_yuv.h265")
+    stats = process_video_stream(
+        src, out_yuv, engine, batch_size=4, transport="yuv420",
+        encode_kwargs={"preset": "ultrafast"},
+    )
+    assert stats.frames == 6
+    with VideoDecoder(out_yuv) as dec:
+        got = list(dec)
+    assert len(got) == 6 and got[0].shape == (96, 160, 3)
+
+    # transport=auto resolves to yuv420 for a fused engine
+    out_auto = str(tmp_path / "out_auto.h265")
+    stats2 = process_video_stream(
+        src, out_auto, engine, batch_size=4, transport="auto",
+        encode_kwargs={"preset": "ultrafast"},
+    )
+    assert stats2.frames == 6
+
+
+def test_decoder_pending_rgb_stash(tmp_path):
+    """The frame-retained contract of read_i420's fallback: a stashed RGB
+    frame is returned by the next __next__ before any new decode."""
+    rng = np.random.default_rng(7)
+    src = str(tmp_path / "in.mp4")
+    with VideoEncoder(src, 64, 64, fps=10, codec="libx264") as e:
+        for i in range(2):
+            e.write(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    with VideoDecoder(src) as dec:
+        sentinel = np.full((64, 64, 3), 7, np.uint8)
+        dec._pending_rgb = sentinel
+        first = next(dec)
+        np.testing.assert_array_equal(first, sentinel)
+        rest = list(dec)
+    assert len(rest) == 2

@@ -58,9 +58,12 @@ class PipelineConfig:
     # link at startup and pick. See pipeline/throughput.py.
     engine: str = "tiered"
     resume: bool = True  # skip already-completed videos via output manifest
-    # Tiered-pipeline host->device format: "rgb" or "yuv420" (half the
-    # bytes; sources are H.265 4:2:0 so chroma re-subsampling is lossless
-    # w.r.t. the codec).
+    # Host<->device frame format: "rgb" or "yuv420" (half the bytes;
+    # sources are H.265 4:2:0 so chroma re-subsampling is lossless w.r.t.
+    # the codec). For the tiered engine this selects the h2d content
+    # transfer; for the fused engine it selects the whole stream transport
+    # (decoder I420 -> process_batch_yuv -> encoder I420, no RGB pass
+    # anywhere — pipeline/streaming.py).
     transfer: str = "rgb"
     # Co-batch frames from all camera streams into shared device batches
     # (pipeline/multicam.py) instead of processing streams sequentially.

@@ -226,6 +226,7 @@ def _run_job(args, cfg, engine, log) -> None:
         stats = process_video_stream(
             args.video, out, engine, batch_size=cfg.batch_size,
             encode_kwargs=getattr(cfg, "encode_kwargs", None),
+            transport=cfg.transfer,
         )
         log.info(
             "done: %d frames, %d faces, %d plates, %.1f fps end-to-end",

@@ -616,6 +616,7 @@ class DesensitizationService:
             batch_size=self.pcfg.batch_size,
             output_fps=self.pcfg.output_fps,
             encode_kwargs=getattr(self.pcfg, "encode_kwargs", None),
+            transport=getattr(self.pcfg, "transfer", "rgb"),
         )
         if not res.success:
             raise RuntimeError(f"video pipeline failed for {job.name}")

@@ -57,12 +57,20 @@ def process_video_stream(
     # Peak RAM ≈ (prefetch_depth + DEFAULT_STREAM_DEPTH + 2) × batch bytes.
     prefetch_depth: int = 3,
     encode_kwargs: Optional[dict] = None,
+    transport: str = "rgb",
 ) -> StreamStats:
     """Desensitize one video file end to end.
 
     encode_kwargs: libx265 encoder overrides (preset/bitrate) for the
     output writer; defaults to the reference repack settings
-    (video.av.HEVC_DEFAULTS). Ignored for non-HEVC output codecs."""
+    (video.av.HEVC_DEFAULTS). Ignored for non-HEVC output codecs.
+
+    transport: frame format between codec and device — "rgb" (reference-
+    exact pixels end to end), "yuv420" (planar I420 straight from the
+    decoder through ``engine.process_batch_yuv`` into the encoder: half the
+    link bytes, no sws RGB pass on either side; requires a fused engine and
+    even frame dims — odd streams fall back to rgb automatically), or
+    "auto" (yuv420 whenever the engine supports it)."""
     log = get_logger("stream")
     stats = StreamStats()
     t0 = time.time()
@@ -72,18 +80,53 @@ def process_video_stream(
     if codec is None:
         codec = default_codec_for(output_path)
 
+    use_yuv = transport in ("yuv420", "auto") and hasattr(
+        engine, "process_batch_yuv"
+    )
+    if transport == "yuv420" and not use_yuv:
+        log.info(
+            "transport=yuv420 needs an engine with process_batch_yuv "
+            "(fused); falling back to rgb"
+        )
+
     in_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
     out_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
     errors = []
 
     def decode_worker():
+        # Batches are dispatched by shape downstream: ndim == 3 is planar
+        # I420 (B, H*3/2, W) -> process_batch_yuv/write_i420; ndim == 4 is
+        # RGB (B, H, W, 3). A mid-probe IOError (odd dims / exotic stream)
+        # retains the frame, so switching to the RGB iterator loses nothing.
         try:
             batch = []
-            for frame in dec:
-                batch.append(frame)
-                if len(batch) == batch_size:
-                    in_q.put(np.stack(batch))
-                    batch = []
+            if use_yuv:
+                n_yuv = 0
+                try:
+                    while True:
+                        frame = dec.read_i420()
+                        if frame is None:
+                            break
+                        n_yuv += 1
+                        batch.append(frame)
+                        if len(batch) == batch_size:
+                            in_q.put(np.stack(batch))
+                            batch = []
+                except IOError as e:
+                    if n_yuv or "even dims" not in str(e):
+                        raise  # failed mid-stream: not a clean fallback
+                    log.info("yuv420 transport unavailable (%s); using rgb", e)
+                    for frame in dec:
+                        batch.append(frame)
+                        if len(batch) == batch_size:
+                            in_q.put(np.stack(batch))
+                            batch = []
+            else:
+                for frame in dec:
+                    batch.append(frame)
+                    if len(batch) == batch_size:
+                        in_q.put(np.stack(batch))
+                        batch = []
             if batch:
                 in_q.put(np.stack(batch))
         except Exception as e:  # noqa: BLE001
@@ -102,7 +145,10 @@ def process_video_stream(
                 if item is _SENTINEL:
                     break
                 if enc is None:
-                    h, w = item.shape[1:3]
+                    if item.ndim == 3:  # planar I420 (B, H*3/2, W)
+                        h, w = item.shape[1] * 2 // 3, item.shape[2]
+                    else:
+                        h, w = item.shape[1:3]
                     kwargs = dict(HEVC_DEFAULTS) if codec == "libx265" else {}
                     if codec == "libx265" and encode_kwargs:
                         kwargs.update(encode_kwargs)
@@ -117,8 +163,12 @@ def process_video_stream(
                     kwargs["codec"] = codec
                     enc = VideoEncoder(output_path, w, h, fps=out_fps, **kwargs)
                     encoder_holder["enc"] = enc
-                for frame in item:
-                    enc.write(frame)
+                if item.ndim == 3:
+                    for frame in item:
+                        enc.write_i420(frame)
+                else:
+                    for frame in item:
+                        enc.write(frame)
         except Exception as e:  # noqa: BLE001
             errors.append(e)
             # Keep draining so the main loop's out_q.put never blocks on a
@@ -197,7 +247,10 @@ def _run_device_stage(engine, in_q, out_q, stats, timer):
             if batch is _SENTINEL:
                 break
             with timer.stage("device"):
-                res = engine.process_batch(batch)
+                if batch.ndim == 3:  # planar I420 batch
+                    res = engine.process_batch_yuv(batch)
+                else:
+                    res = engine.process_batch(batch)
             stats.frames += batch.shape[0]
             stats.faces += res.num_faces
             stats.plates += res.num_plates

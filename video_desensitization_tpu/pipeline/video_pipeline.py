@@ -37,6 +37,7 @@ def process_single_video(
     output_fps: Optional[float] = None,
     output_ext: Optional[str] = None,
     encode_kwargs: Optional[dict] = None,
+    transport: str = "rgb",
 ) -> VideoResult:
     """Desensitize one video; output named <name>_processed.<ext>
     (reference combine_detect.py:658 naming)."""
@@ -49,7 +50,7 @@ def process_single_video(
     try:
         stats = process_video_stream(
             video_path, out_path, engine, batch_size=batch_size,
-            fps=output_fps, encode_kwargs=encode_kwargs,
+            fps=output_fps, encode_kwargs=encode_kwargs, transport=transport,
         )
     except Exception as e:  # noqa: BLE001
         log.error("failed on %s: %s", video_path, e)
@@ -233,6 +234,7 @@ def process_record_job(
                     batch_size=config.batch_size,
                     output_fps=config.output_fps,
                     encode_kwargs=getattr(config, "encode_kwargs", None),
+                    transport=getattr(config, "transfer", "rgb"),
                 )
                 if res.success:
                     stats.videos_processed += 1

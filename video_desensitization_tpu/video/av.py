@@ -148,6 +148,10 @@ class VideoDecoder:
         return self
 
     def __next__(self) -> np.ndarray:
+        pending = getattr(self, "_pending_rgb", None)
+        if pending is not None:
+            self._pending_rgb = None
+            return pending
         if self._h is not None:
             # Raw .h265 streams report 0x0 until the first frame: start with
             # a 4K-sized guess. vdt_decoder_next takes the buffer CAPACITY and
@@ -229,6 +233,10 @@ class VideoDecoder:
         import cv2
 
         if (frame.shape[0] | frame.shape[1]) & 1:
+            # Mirror the native path's frame-retained contract: stash the
+            # decoded frame so a caller probing I420 support can fall back
+            # to the RGB iterator without losing it (__next__ checks this).
+            self._pending_rgb = frame
             raise IOError(
                 f"I420 needs even dims, got {frame.shape[1]}x{frame.shape[0]}"
             )
