@@ -140,6 +140,10 @@ def test_engine_auto_probes_link_and_picks(tmp_path):
 
     assert probe_link_gib_s(size_mb=1, reps=1) > 0
     assert pick_engine(10.0) == "fused" and pick_engine(1.0) == "tiered"
+    # yuv420 transport halves fused's link traffic -> lower crossover
+    assert pick_engine(4.0) == "tiered"
+    assert pick_engine(4.0, "yuv420") == "fused"
+    assert pick_engine(1.0, "yuv420") == "tiered"
     ini = tmp_path / "auto.ini"
     ini.write_text(
         "[PATHS]\nmodel_path=random\nmodel_weights=random\n"

@@ -67,6 +67,7 @@ def collect(probe_link: bool = False) -> dict:
         gib_s = probe_link_gib_s()
         report["link_h2d_gib_s"] = round(gib_s, 3)  # gigaBYTES/s, not bits
         report["recommended_engine"] = pick_engine(gib_s)
+        report["recommended_engine_yuv420"] = pick_engine(gib_s, "yuv420")
 
     return report
 

@@ -86,12 +86,24 @@ probe_link_gbps = probe_link_gib_s
 # At 6 GiB/s even the half-duplex case sustains >= 520 fps of frame
 # traffic, at the 530 fps worst-case chip bound — fused cannot lose there.
 AUTO_ENGINE_FUSED_GIB_S = 6.0
+# yuv420 transport moves planar I420 both ways (~6.2 MB/frame total at
+# 1080p, half of RGB) and the yuv fused program measures 474 fps at the
+# same worst-case load (bench.py fused_device_fps_yuv): the half-duplex
+# link rate that carries 474 fps of I420 traffic is ~2.9 GiB/s.
+AUTO_ENGINE_FUSED_YUV_GIB_S = 3.0
 
 
-def pick_engine(gib_s: float) -> str:
+def pick_engine(gib_s: float, transfer: str = "rgb") -> str:
     """Resolve engine=auto from a measured link bandwidth (shared by
-    build_engine and cli.doctor so the recommendation can't diverge)."""
-    return "fused" if gib_s >= AUTO_ENGINE_FUSED_GIB_S else "tiered"
+    build_engine and cli.doctor so the recommendation can't diverge).
+    transfer: the configured frame transport — yuv420 halves fused's link
+    traffic, halving the bandwidth at which fused cannot lose."""
+    floor = (
+        AUTO_ENGINE_FUSED_YUV_GIB_S
+        if transfer == "yuv420"
+        else AUTO_ENGINE_FUSED_GIB_S
+    )
+    return "fused" if gib_s >= floor else "tiered"
 
 
 def build_engine(cfg, with_plates: bool = True, allow_random: bool = False):
@@ -105,9 +117,10 @@ def build_engine(cfg, with_plates: bool = True, allow_random: bool = False):
     engine_mode = cfg.engine
     if engine_mode == "auto":
         gib_s = probe_link_gib_s()
-        engine_mode = pick_engine(gib_s)
+        engine_mode = pick_engine(gib_s, getattr(cfg, "transfer", "rgb"))
         get_logger("cli").info(
-            "engine=auto: link probe %.2f GiB/s -> %s", gib_s, engine_mode
+            "engine=auto: link probe %.2f GiB/s -> %s (transfer=%s)",
+            gib_s, engine_mode, getattr(cfg, "transfer", "rgb"),
         )
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
