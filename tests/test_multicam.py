@@ -196,3 +196,48 @@ def test_cobatched_device_error_aborts_everything(tmp_path):
         jobs[cam] = (src, str(tmp_path / f"{cam}_out.mp4"))
     with pytest.raises(RuntimeError, match="device program exploded"):
         process_videos_cobatched(jobs, FailingEngine(), batch_size=4)
+
+
+@needs_native
+def test_cobatched_yuv420_transport(tmp_path):
+    """transport=yuv420 with a fused engine: every camera's frames travel
+    as planar I420 through process_batch_yuv into I420 encoders, mixed
+    resolutions co-batched by full shape."""
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+
+    face = Retinaface(
+        model_path=None,
+        backbone="mobilenet",
+        input_shape=[128, 128, 3],
+        confidence=0.3,
+        nms_iou=0.4,
+        max_detections=8,
+        dtype=jnp.float32,
+    )
+    engine = DesensitizationEngine(face, None, mosaic_level=8)
+
+    rng = np.random.default_rng(2)
+    jobs = {}
+    counts = {"front": 9, "rear": 5}
+    shapes = {"front": (96, 160), "rear": (64, 128)}
+    for cam, n in counts.items():
+        src = str(tmp_path / f"{cam}.h265")
+        h, w = shapes[cam]
+        with VideoEncoder(src, w, h, fps=10, codec="libx265",
+                          bitrate=300000, preset="ultrafast") as e:
+            for i in range(n):
+                e.write(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        jobs[cam] = (src, str(tmp_path / f"{cam}_out.h265"))
+
+    stats = process_videos_cobatched(
+        jobs, engine, batch_size=4, transport="yuv420",
+        encode_kwargs={"preset": "ultrafast"},
+    )
+
+    for cam, n in counts.items():
+        assert stats[cam].error is None
+        assert stats[cam].frames == n
+        with VideoDecoder(jobs[cam][1]) as dec:
+            decoded = sum(1 for _ in dec)
+            assert (dec.width, dec.height) == shapes[cam][::-1]
+        assert decoded == n

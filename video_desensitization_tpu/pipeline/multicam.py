@@ -69,6 +69,7 @@ def process_videos_cobatched(
     queue_depth: int = 64,
     inflight: int = DEFAULT_STREAM_DEPTH,
     encode_kwargs: Optional[dict] = None,
+    transport: str = "rgb",
 ) -> Dict[str, CameraStats]:
     """Desensitize many videos through one shared device batch stream.
 
@@ -76,8 +77,18 @@ def process_videos_cobatched(
     stats. Encoder codec defaults per output extension
     (video.av.default_codec_for). ``encode_kwargs`` overrides the libx265
     writers' preset/bitrate (default: reference repack settings).
+
+    transport: "rgb", "yuv420", or "auto" — with a fused engine, yuv420
+    runs each camera decoder in planar-I420 mode straight through
+    ``process_batch_yuv`` into I420 encoders (no RGB pass; half the link
+    bytes — see pipeline/streaming.py). Frames carry their mode in their
+    shape (I420 frames are 2-D), so a camera that cannot decode I420 (odd
+    dims) falls back to RGB individually while the rest stay planar.
     """
     log = get_logger("multicam")
+    use_yuv = transport in ("yuv420", "auto") and hasattr(
+        engine, "process_batch_yuv"
+    )
     frame_q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
     enc_qs: Dict[str, "queue.Queue"] = {
         cam: queue.Queue(maxsize=queue_depth) for cam in jobs
@@ -91,11 +102,29 @@ def process_videos_cobatched(
     # camera keeps processing. ``abort`` is reserved for device-program
     # errors, which poison all in-flight batches.
 
+    def frames_of(cam: str, dec: VideoDecoder):
+        if use_yuv:
+            n = 0
+            try:
+                while True:
+                    f = dec.read_i420()
+                    if f is None:
+                        return
+                    n += 1
+                    yield f
+            except IOError as e:
+                if n or "even dims" not in str(e):
+                    raise
+                log.info("camera %s: yuv420 unavailable (%s); rgb", cam, e)
+            # odd-dims probe retains the frame: continue via the RGB iterator
+        for frame in dec:
+            yield frame
+
     def decode_worker(cam: str, path: str):
         try:
             with VideoDecoder(path) as dec:
                 meta[cam] = {"fps": dec.fps or 30.0}
-                for frame in dec:
+                for frame in frames_of(cam, dec):
                     if not _abortable_put(frame_q, (cam, frame), abort):
                         return
         except Exception as e:  # noqa: BLE001
@@ -112,7 +141,10 @@ def process_videos_cobatched(
                 if item is _DONE:
                     break
                 if enc is None:
-                    h, w = item.shape[:2]
+                    if item.ndim == 2:  # planar I420 (H*3/2, W)
+                        h, w = item.shape[0] * 2 // 3, item.shape[1]
+                    else:
+                        h, w = item.shape[:2]
                     c = codec or default_codec_for(out_path)
                     kwargs = dict(HEVC_DEFAULTS) if c == "libx265" else {}
                     if c == "libx265" and encode_kwargs:
@@ -127,7 +159,10 @@ def process_videos_cobatched(
                     enc = VideoEncoder(
                         out_path, w, h, fps=fps or meta[cam]["fps"], **kwargs
                     )
-                enc.write(item)
+                if item.ndim == 2:
+                    enc.write_i420(item)
+                else:
+                    enc.write(item)
         except Exception as e:  # noqa: BLE001
             log.error("encode failed for camera %s: %s", cam, e)
             stats[cam].error = stats[cam].error or f"encode: {e}"
@@ -173,6 +208,13 @@ def process_videos_cobatched(
                     fut = engine.dispatch(lb, shapes)
                     result_q.put(
                         (done_items, finalizer.submit(engine.finalize, batch, fut))
+                    )
+                elif batch.ndim == 3:  # planar I420 batch (B, H*3/2, W)
+                    result_q.put(
+                        (
+                            done_items,
+                            finalizer.submit(engine.process_batch_yuv, batch),
+                        )
                     )
                 else:
                     result_q.put(
@@ -227,7 +269,7 @@ def process_videos_cobatched(
             stats[cam].faces += len(fb)
             stats[cam].plates += len(pb)
 
-    groups: Dict[Tuple[int, int], List[Tuple[str, np.ndarray]]] = {}
+    groups: Dict[Tuple[int, ...], List[Tuple[str, np.ndarray]]] = {}
     live = set(jobs)
     try:
         while live and not abort.is_set():
@@ -244,7 +286,10 @@ def process_videos_cobatched(
                 continue
             if stats[cam].error:
                 continue  # dead camera: drop queued frames, keep others going
-            key = item.shape[:2]
+            # FULL shape as the group key: I420 frames (H*3/2, W) and RGB
+            # frames (H, W, 3) must never share a batch even when their
+            # leading dims collide (e.g. 144x160 I420 vs 144x160x3 RGB).
+            key = item.shape
             groups.setdefault(key, []).append((cam, item))
             if len(groups[key]) >= batch_size:
                 submit(groups.pop(key))

@@ -192,6 +192,7 @@ def process_record_job(
         cam_stats = process_videos_cobatched(
             jobs, engine, batch_size=config.batch_size, fps=config.output_fps,
             encode_kwargs=getattr(config, "encode_kwargs", None),
+            transport=getattr(config, "transfer", "rgb"),
         )
         for name, cs in cam_stats.items():
             if cs.error:
