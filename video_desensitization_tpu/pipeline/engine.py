@@ -185,6 +185,65 @@ class DesensitizationEngine:
 
         return program
 
+    def dispatch_batch(
+        self, frames: np.ndarray, image_shapes: Optional[np.ndarray] = None
+    ):
+        """Enqueue one device program asynchronously and return an opaque
+        in-flight handle for :meth:`finalize_batch`.
+
+        frames: uint8 (B, H, W, 3) RGB — or (B, H*3/2, W) planar I420,
+        routed to the yuv program by rank. JAX dispatch is async, so a
+        caller can keep several batches in flight (transfers and device
+        compute overlap host decode/encode) and finalize in FIFO order —
+        the shape bench.py's pipelined fused_device_fps measures.
+        """
+        yuv = frames.ndim == 3
+        if yuv:
+            b, h15, w = frames.shape
+            h = (h15 * 2) // 3
+            frames_in = np.ascontiguousarray(frames)
+            if self._yuv_program is None:
+                self._yuv_program = self._finalize_program(
+                    self._build_program(yuv=True)
+                )
+            program = self._yuv_program
+        else:
+            b, h, w, _ = frames.shape
+            # Host-side reshape to the program's channel-interleaved flat
+            # form is a free numpy view (C-contiguous input).
+            frames_in = np.ascontiguousarray(frames).reshape(b, h, w * 3)
+            program = self._program
+        if image_shapes is None:
+            image_shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+        orig_b = b
+        shapes_in = image_shapes
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            frames_in, _ = pad_batch_to_devices(frames_in, n)
+            shapes_in, _ = pad_batch_to_devices(image_shapes, n)
+            frames_in = jax.device_put(frames_in, batch_sharding(self.mesh, 3))
+            shapes_in = jax.device_put(shapes_in, batch_sharding(self.mesh, 2))
+
+        plate_vars = self.plate.variables if self.plate is not None else None
+        outputs = program(
+            self.face.variables,
+            plate_vars,
+            jnp.asarray(frames_in),
+            jnp.asarray(shapes_in),
+        )
+        return outputs, (orig_b, h, w, yuv)
+
+    def finalize_batch(self, handle) -> EngineResult:
+        """Fetch one in-flight dispatch (blocks on the device) and gather."""
+        (blurred, face_px, face_keep, plate_px, plate_keep), meta = handle
+        orig_b, h, w, yuv = meta
+        frames = np.asarray(blurred)[:orig_b]
+        if not yuv:
+            frames = frames.reshape(orig_b, h, w, 3)
+        return self._gather_result(
+            frames, face_px, face_keep, plate_px, plate_keep, orig_b
+        )
+
     def process_batch_yuv(
         self, yuv_frames: np.ndarray, image_shapes: Optional[np.ndarray] = None
     ) -> EngineResult:
@@ -198,73 +257,15 @@ class DesensitizationEngine:
         mosaic_i420_batch). ``EngineResult.frames`` is blurred I420 of the
         same shape, ready for an encoder.
         """
-        b, h15, w = yuv_frames.shape
-        h = (h15 * 2) // 3
-        if image_shapes is None:
-            image_shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
-        if self._yuv_program is None:
-            self._yuv_program = self._finalize_program(
-                self._build_program(yuv=True)
-            )
-        orig_b = b
-        frames_in = np.ascontiguousarray(yuv_frames)
-        shapes_in = image_shapes
-        if self.mesh is not None:
-            n = self.mesh.devices.size
-            frames_in, _ = pad_batch_to_devices(frames_in, n)
-            shapes_in, _ = pad_batch_to_devices(image_shapes, n)
-            frames_in = jax.device_put(frames_in, batch_sharding(self.mesh, 3))
-            shapes_in = jax.device_put(shapes_in, batch_sharding(self.mesh, 2))
-
-        plate_vars = self.plate.variables if self.plate is not None else None
-        blurred, face_px, face_keep, plate_px, plate_keep = self._yuv_program(
-            self.face.variables,
-            plate_vars,
-            jnp.asarray(frames_in),
-            jnp.asarray(shapes_in),
-        )
-        return self._gather_result(
-            np.asarray(blurred)[:orig_b],
-            face_px,
-            face_keep,
-            plate_px,
-            plate_keep,
-            orig_b,
-        )
+        assert yuv_frames.ndim == 3, yuv_frames.shape
+        return self.finalize_batch(self.dispatch_batch(yuv_frames, image_shapes))
 
     def process_batch(
         self, frames: np.ndarray, image_shapes: Optional[np.ndarray] = None
     ) -> EngineResult:
         """frames: uint8 (B, H, W, 3) RGB at native resolution."""
-        b, h, w, _ = frames.shape
-        if image_shapes is None:
-            image_shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
-        orig_b = b
-        # Host-side reshape to the program's channel-interleaved flat form is
-        # a free numpy view (C-contiguous input).
-        frames_in = np.ascontiguousarray(frames).reshape(b, h, w * 3)
-        shapes_in = image_shapes
-        if self.mesh is not None:
-            n = self.mesh.devices.size
-            frames_in, _ = pad_batch_to_devices(frames_in, n)
-            shapes_in, _ = pad_batch_to_devices(image_shapes, n)
-            frames_in = jax.device_put(
-                frames_in, batch_sharding(self.mesh, 3)
-            )
-            shapes_in = jax.device_put(shapes_in, batch_sharding(self.mesh, 2))
-
-        plate_vars = self.plate.variables if self.plate is not None else None
-        blurred, face_px, face_keep, plate_px, plate_keep = self._program(
-            self.face.variables, plate_vars, jnp.asarray(frames_in), jnp.asarray(shapes_in)
-        )
-        return self._gather_result(
-            np.asarray(blurred)[:orig_b].reshape(orig_b, h, w, 3),
-            face_px,
-            face_keep,
-            plate_px,
-            plate_keep,
-            orig_b,
-        )
+        assert frames.ndim == 4, frames.shape
+        return self.finalize_batch(self.dispatch_batch(frames, image_shapes))
 
     def _gather_result(
         self, frames, face_px, face_keep, plate_px, plate_keep, orig_b

@@ -209,11 +209,15 @@ def process_videos_cobatched(
                     result_q.put(
                         (done_items, finalizer.submit(engine.finalize, batch, fut))
                     )
-                elif batch.ndim == 3:  # planar I420 batch (B, H*3/2, W)
+                elif hasattr(engine, "dispatch_batch"):
+                    # Fused engine (rgb or I420 batches, routed by rank):
+                    # dispatch async HERE so transfers + device compute
+                    # overlap; the single-worker finalizer fetches in FIFO.
+                    handle = engine.dispatch_batch(batch)
                     result_q.put(
                         (
                             done_items,
-                            finalizer.submit(engine.process_batch_yuv, batch),
+                            finalizer.submit(engine.finalize_batch, handle),
                         )
                     )
                 else:

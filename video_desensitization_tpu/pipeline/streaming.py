@@ -240,6 +240,38 @@ def _run_device_stage(engine, in_q, out_q, stats, timer):
                 stats.plates += res.num_plates
                 with timer.stage("wait_encode"):
                     out_q.put(res.frames)
+    elif hasattr(engine, "dispatch_batch"):
+        # Fused engine: keep a couple of dispatches in flight (JAX enqueues
+        # asynchronously) so transfers + device compute overlap the decode
+        # and encode threads instead of serializing per batch.
+        from collections import deque
+
+        depth = 2
+        pending: "deque" = deque()
+
+        def _finish_one():
+            n, handle = pending.popleft()
+            with timer.stage("device"):
+                res = engine.finalize_batch(handle)
+            stats.frames += n
+            stats.faces += res.num_faces
+            stats.plates += res.num_plates
+            with timer.stage("wait_encode"):
+                out_q.put(res.frames)
+
+        try:
+            while True:
+                with timer.stage("wait_decode"):
+                    batch = in_q.get()
+                if batch is _SENTINEL:
+                    break
+                with timer.stage("dispatch"):
+                    pending.append((batch.shape[0], engine.dispatch_batch(batch)))
+                if len(pending) > depth:
+                    _finish_one()
+        finally:
+            while pending:
+                _finish_one()
     else:
         while True:
             with timer.stage("wait_decode"):
@@ -247,10 +279,7 @@ def _run_device_stage(engine, in_q, out_q, stats, timer):
             if batch is _SENTINEL:
                 break
             with timer.stage("device"):
-                if batch.ndim == 3:  # planar I420 batch
-                    res = engine.process_batch_yuv(batch)
-                else:
-                    res = engine.process_batch(batch)
+                res = engine.process_batch(batch)
             stats.frames += batch.shape[0]
             stats.faces += res.num_faces
             stats.plates += res.num_plates
