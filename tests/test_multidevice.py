@@ -268,3 +268,23 @@ def test_hlo_collective_structure(face):
     step = make_train_step(model, tx, anchors, mesh=mesh)
     hlo_train = jax.jit(lambda s, b: step(s, b)).lower(state, batch).compile().as_text()
     assert "all-reduce" in hlo_train, "sharded train step lost its gradient all-reduce"
+
+
+def test_engine_yuv_mesh_matches_single_device(face):
+    """process_batch_yuv sharded over the 8-device mesh must equal the
+    single-device result (rank-3 I420 batches shard over `data` like RGB)."""
+    from video_desensitization_tpu.ops.yuv import rgb_to_i420_host
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (5, 96, 160, 3), dtype=np.uint8)
+    yuv = np.stack([rgb_to_i420_host(f) for f in frames])
+
+    solo = DesensitizationEngine(face, None, mosaic_level=8)
+    sharded = DesensitizationEngine(
+        face, None, mosaic_level=8, mesh=make_mesh()
+    )
+    a = solo.process_batch_yuv(yuv)
+    b = sharded.process_batch_yuv(yuv)
+    assert a.frames.shape == yuv.shape
+    np.testing.assert_array_equal(a.frames, b.frames)
+    assert a.num_faces == b.num_faces
