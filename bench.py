@@ -261,21 +261,26 @@ def main() -> None:
         # the realistic engine=fused number that `engine=auto` extrapolates
         # to above its bandwidth threshold (cli/main.py pick_engine). The
         # tunnel-bound fused_fps above mostly measures this host's link.
-        def _fused_device(bsz, iters, eng=None, fvars=None, pvars=None):
+        def _fused_device(bsz, iters, eng=None, fvars=None, pvars=None,
+                          yuv=False):
             eng = eng or engine
             fvars = face.variables if fvars is None else fvars
             pvars = plate_vars if pvars is None else pvars
             reps = int(np.ceil(bsz / frames.shape[0]))
             stack = np.concatenate([frames] * reps)[:bsz]
-            # engine programs take channel-interleaved flat (B, H, W*3) rows
-            fr = jnp.asarray(stack.reshape(bsz, stack.shape[1], -1))
+            if yuv:
+                from video_desensitization_tpu.ops.yuv import rgb_to_i420_host
+
+                fr = jnp.asarray(np.stack([rgb_to_i420_host(f) for f in stack]))
+            else:
+                # engine programs take channel-interleaved (B, H, W*3) rows
+                fr = jnp.asarray(stack.reshape(bsz, stack.shape[1], -1))
+            prog = eng.program(yuv=yuv)
             sh = jnp.asarray(np.tile(frame_shape_row, (bsz, 1)))
-            out = eng._program(fvars, pvars, fr, sh)
+            out = prog(fvars, pvars, fr, sh)
             np.asarray(out[2][:1])  # compile + warm; sync via a small output
             t0 = time.perf_counter()
-            outs = [
-                eng._program(fvars, pvars, fr, sh) for _ in range(iters)
-            ]
+            outs = [prog(fvars, pvars, fr, sh) for _ in range(iters)]
             for o in outs:  # one sync after all dispatches are queued
                 np.asarray(o[2][:1])
             return iters * bsz / (time.perf_counter() - t0)
@@ -290,29 +295,7 @@ def main() -> None:
         # I420 is 1.5 B/px both ways vs RGB's 3 (see cli.main threshold
         # derivation). Same worst-case box load, device-resident, pipelined.
         if os.environ.get("BENCH_FUSED_YUV", "1") == "1":
-            from video_desensitization_tpu.ops.yuv import rgb_to_i420_host
-
-            if engine._yuv_program is None:
-                engine._yuv_program = engine._finalize_program(
-                    engine._build_program(yuv=True)
-                )
-            reps = int(np.ceil(dev_batch / frames.shape[0]))
-            stack = np.concatenate([frames] * reps)[:dev_batch]
-            yuv_stack = np.stack([rgb_to_i420_host(f) for f in stack])
-            fr_y = jnp.asarray(yuv_stack)
-            sh_y = jnp.asarray(np.tile(frame_shape_row, (dev_batch, 1)))
-            out = engine._yuv_program(face.variables, plate_vars, fr_y, sh_y)
-            np.asarray(out[2][:1])  # compile + warm
-            t0 = time.perf_counter()
-            outs = [
-                engine._yuv_program(face.variables, plate_vars, fr_y, sh_y)
-                for _ in range(fd_iters)
-            ]
-            for o in outs:
-                np.asarray(o[2][:1])
-            fused_device_fps_yuv = (
-                fd_iters * dev_batch / (time.perf_counter() - t0)
-            )
+            fused_device_fps_yuv = _fused_device(dev_batch, fd_iters, yuv=True)
 
         # fused_device_fps_nobox: the same fused program with confidence
         # above any possible score, so NMS keeps nothing and the mosaic

@@ -65,9 +65,6 @@ def build_engine(batch: int, yuv: bool = False):
     if yuv:
         from video_desensitization_tpu.ops.yuv import rgb_to_i420_host
 
-        engine._yuv_program = engine._finalize_program(
-            engine._build_program(yuv=True)
-        )
         fr = jnp.asarray(np.stack([rgb_to_i420_host(f) for f in frames]))
     else:
         # engine programs take channel-interleaved flat (B, H, W*3) rows
@@ -80,7 +77,7 @@ def capture(out_dir: str, batch: int, iters: int, yuv: bool = False) -> float:
     import jax
 
     engine, face, plate, fr, sh = build_engine(batch, yuv)
-    prog = engine._yuv_program if yuv else engine._program
+    prog = engine.program(yuv=yuv)
     run = lambda: prog(face.variables, plate.variables, fr, sh)
     np.asarray(run()[2][:1])  # compile + warm
     # timed (unprofiled) pipelined reference rate

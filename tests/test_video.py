@@ -222,3 +222,22 @@ def test_read_i420_matches_rgb_iterator(tmp_path):
         back = cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB_I420)
         diff = np.abs(back.astype(np.int16) - rgb.astype(np.int16))
         assert float(diff.mean()) < 2.0 and int(diff.max()) <= 12
+
+
+@needs_native
+def test_read_i420_rejects_non_yuv420p_and_retains_frame(tmp_path):
+    """MJPEG decodes as full-range yuvj420p: pass-through would mislabel the
+    range, so read_i420 must raise the TYPED error with the probed frame
+    retained — the RGB iterator then yields every frame."""
+    from video_desensitization_tpu.video.av import I420UnsupportedError
+
+    frames = _gradient_frames(n=4)
+    p = str(tmp_path / "t.avi")
+    with VideoEncoder(p, 128, 96, fps=10, codec="mjpeg") as e:
+        for f in frames:
+            e.write(f)
+    with VideoDecoder(p) as dec:
+        with pytest.raises(I420UnsupportedError):
+            dec.read_i420()
+        got = list(dec)
+    assert len(got) == 4  # probe retained the first frame

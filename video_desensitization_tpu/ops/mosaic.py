@@ -189,8 +189,15 @@ def mosaic_i420_batch(
     rounding the reference pipeline incurs (combine_detect.py:138-161 after
     cv2 BGR decode). The Y plane uses the full-res boxes and ``level``; the
     chroma planes use half-res boxes (``chroma_boxes``) at ``level // 2``,
-    which reproduces the full-res block grid at chroma resolution (same
-    number of blocks per box). U and V are INTERLEAVED on the channel axis
+    which preserves the block GRANULARITY (a chroma block covers ~``level``
+    full-res pixels, so no finer color detail survives than luma detail).
+    The block COUNT can differ from Y's where the integer rounding
+    diverges — extents < 2*level get extra chroma blocks (15 px at level 8:
+    1 luma block, 2 chroma), and odd levels blur chroma slightly finer —
+    so the chroma pattern is not the RGB path's pattern subsampled; exact
+    equivalence is impossible anyway because chroma subsampling AVERAGES
+    2x2 neighborhoods while pixelation only gathers.
+    U and V are INTERLEAVED on the channel axis
     — (B, H/2, W/2, 2) — so one pass with ONE box list covers both planes;
     the Pallas kernel's per-box work is serial, and profiling the earlier
     side-by-side stacking (duplicated boxes) showed the chroma pass costing

@@ -185,6 +185,24 @@ class DesensitizationEngine:
 
         return program
 
+    def program(self, yuv: bool = False):
+        """The jitted device program (the yuv variant builds lazily).
+
+        For drivers that feed pre-transferred device-resident arrays and
+        manage their own dispatch pipelining (bench.py, benchmarks/
+        profile_device.py). Production callers use process_batch/
+        process_batch_yuv or the dispatch_batch/finalize_batch split.
+        Signature: program(face_vars, plate_vars, frames, image_shapes) ->
+        (blurred, face_px, face_keep, plate_px, plate_keep).
+        """
+        if yuv:
+            if self._yuv_program is None:
+                self._yuv_program = self._finalize_program(
+                    self._build_program(yuv=True)
+                )
+            return self._yuv_program
+        return self._program
+
     def dispatch_batch(
         self, frames: np.ndarray, image_shapes: Optional[np.ndarray] = None
     ):
@@ -202,11 +220,7 @@ class DesensitizationEngine:
             b, h15, w = frames.shape
             h = (h15 * 2) // 3
             frames_in = np.ascontiguousarray(frames)
-            if self._yuv_program is None:
-                self._yuv_program = self._finalize_program(
-                    self._build_program(yuv=True)
-                )
-            program = self._yuv_program
+            program = self.program(yuv=True)
         else:
             b, h, w, _ = frames.shape
             # Host-side reshape to the program's channel-interleaved flat

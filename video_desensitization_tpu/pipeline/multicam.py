@@ -32,6 +32,7 @@ from video_desensitization_tpu.pipeline.throughput import DEFAULT_STREAM_DEPTH
 from video_desensitization_tpu.utils.logging import get_logger
 from video_desensitization_tpu.video.av import (
     HEVC_DEFAULTS,
+    I420UnsupportedError,
     VideoDecoder,
     VideoEncoder,
     default_codec_for,
@@ -104,19 +105,18 @@ def process_videos_cobatched(
 
     def frames_of(cam: str, dec: VideoDecoder):
         if use_yuv:
-            n = 0
             try:
                 while True:
                     f = dec.read_i420()
                     if f is None:
                         return
-                    n += 1
                     yield f
-            except IOError as e:
-                if n or "even dims" not in str(e):
-                    raise
+            except I420UnsupportedError as e:
+                # The probed frame is RETAINED (typed contract in video.av):
+                # continue via the RGB iterator losing nothing. Downstream
+                # routes every frame by its own shape, so a camera may even
+                # switch modes mid-stream.
                 log.info("camera %s: yuv420 unavailable (%s); rgb", cam, e)
-            # odd-dims probe retains the frame: continue via the RGB iterator
         for frame in dec:
             yield frame
 

@@ -23,6 +23,7 @@ from video_desensitization_tpu.utils.logging import get_logger
 from video_desensitization_tpu.utils.timers import StageTimer
 from video_desensitization_tpu.video.av import (
     HEVC_DEFAULTS,
+    I420UnsupportedError,
     VideoDecoder,
     VideoEncoder,
     default_codec_for,
@@ -93,40 +94,30 @@ def process_video_stream(
     out_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
     errors = []
 
+    def frames_of():
+        # Batches are dispatched by shape downstream: I420 frames are 2-D
+        # (H*3/2, W) -> process_batch_yuv/write_i420; RGB frames are 3-D.
+        # An I420Unsupported probe (odd dims / non-yuv420p source) retains
+        # the frame, so switching to the RGB iterator loses nothing.
+        if use_yuv:
+            try:
+                while True:
+                    frame = dec.read_i420()
+                    if frame is None:
+                        return
+                    yield frame
+            except I420UnsupportedError as e:
+                log.info("yuv420 transport unavailable (%s); using rgb", e)
+        yield from dec
+
     def decode_worker():
-        # Batches are dispatched by shape downstream: ndim == 3 is planar
-        # I420 (B, H*3/2, W) -> process_batch_yuv/write_i420; ndim == 4 is
-        # RGB (B, H, W, 3). A mid-probe IOError (odd dims / exotic stream)
-        # retains the frame, so switching to the RGB iterator loses nothing.
         try:
             batch = []
-            if use_yuv:
-                n_yuv = 0
-                try:
-                    while True:
-                        frame = dec.read_i420()
-                        if frame is None:
-                            break
-                        n_yuv += 1
-                        batch.append(frame)
-                        if len(batch) == batch_size:
-                            in_q.put(np.stack(batch))
-                            batch = []
-                except IOError as e:
-                    if n_yuv or "even dims" not in str(e):
-                        raise  # failed mid-stream: not a clean fallback
-                    log.info("yuv420 transport unavailable (%s); using rgb", e)
-                    for frame in dec:
-                        batch.append(frame)
-                        if len(batch) == batch_size:
-                            in_q.put(np.stack(batch))
-                            batch = []
-            else:
-                for frame in dec:
-                    batch.append(frame)
-                    if len(batch) == batch_size:
-                        in_q.put(np.stack(batch))
-                        batch = []
+            for frame in frames_of():
+                batch.append(frame)
+                if len(batch) == batch_size:
+                    in_q.put(np.stack(batch))
+                    batch = []
             if batch:
                 in_q.put(np.stack(batch))
         except Exception as e:  # noqa: BLE001

@@ -107,6 +107,14 @@ def native_available() -> bool:
     return _load() is not None
 
 
+class I420UnsupportedError(IOError):
+    """The stream has no lossless I420 form (odd dims, non-yuv420p source
+    like full-range MJPEG or 4:2:2/10-bit). The probed frame is RETAINED:
+    callers fall back to the RGB iterator without losing it. This is the
+    TYPED fallback signal — pipeline code must catch this class, never
+    match error-message substrings."""
+
+
 class VideoDecoder:
     """Iterate RGB uint8 frames of a video file (container or raw .h265)."""
 
@@ -221,6 +229,8 @@ class VideoDecoder:
                 )
             if rc == 0:
                 return None
+            if rc == -4:  # no I420 form; frame retained for the RGB iterator
+                raise I420UnsupportedError(self._lib.vdt_last_error().decode())
             if rc < 0:
                 raise IOError(self._lib.vdt_last_error().decode())
             w, h = out_w.value, out_h.value
@@ -237,7 +247,7 @@ class VideoDecoder:
             # decoded frame so a caller probing I420 support can fall back
             # to the RGB iterator without losing it (__next__ checks this).
             self._pending_rgb = frame
-            raise IOError(
+            raise I420UnsupportedError(
                 f"I420 needs even dims, got {frame.shape[1]}x{frame.shape[0]}"
             )
         return cv2.cvtColor(frame, cv2.COLOR_RGB2YUV_I420)

@@ -16,6 +16,7 @@ extern "C" {
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
 }
 
@@ -221,6 +222,18 @@ extern "C" int vdt_decoder_next_i420(VdtDecoder *d, uint8_t *yuv_out,
         set_error("I420 needs even dims, got " + std::to_string(w) + "x" +
                   std::to_string(h));
         return -4;  // frame retained; caller may switch to vdt_decoder_next
+    }
+    // Only pass through sources that ARE limited-range 8-bit 4:2:0 —
+    // anything else (yuvj420p full-range MJPEG, 4:2:2/4:4:4, 10-bit) would
+    // go through a lossy sws squeeze here and then a video-range expansion
+    // on device, shifting detector inputs relative to the RGB transport.
+    // Those sources fall back to the RGB path, whose sws conversion handles
+    // range/subsampling correctly.
+    if (d->frame->format != AV_PIX_FMT_YUV420P) {
+        const char *name = av_get_pix_fmt_name((AVPixelFormat)d->frame->format);
+        set_error(std::string("I420 pass-through needs yuv420p source, got ") +
+                  (name ? name : "?"));
+        return -4;  // frame retained
     }
     if ((int64_t)3 * w * h / 2 > capacity) {
         set_error("decoded frame " + std::to_string(w) + "x" +
