@@ -85,6 +85,13 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--engine", default="auto")
     ap.add_argument(
+        "--transfer",
+        default="rgb",
+        choices=["rgb", "yuv420"],
+        help="frame transport ([TPU] transfer): yuv420 + engine=fused runs "
+        "the record job decoder->chip->encoder in planar I420",
+    )
+    ap.add_argument(
         "--preset",
         default="medium",
         help="libx265 preset for the processed-video encode (the record "
@@ -162,6 +169,7 @@ def main() -> None:
                 f"encode_preset={args.preset}\n"
                 f"[TPU]\nengine={args.engine}\ninput_size={input_size}\n"
                 f"max_detections=16\ndtype={dtype}\noutput_fps=30\n"
+                f"transfer={args.transfer}\n"
                 f"co_batch={'true' if args.co_batch else 'false'}\n"
             )
         cfg = load_config(ini)
@@ -191,6 +199,7 @@ def main() -> None:
                     "job_s": round(job_s, 1),
                     "unpack_s": round(unpack_s, 2),
                     "engine": type(engine).__name__,
+                    "transfer": args.transfer,
                     "co_batch": args.co_batch,
                     "videos_processed": stats.videos_processed,
                     "faces": stats.faces,
