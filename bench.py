@@ -10,7 +10,8 @@ host mosaic, with double-buffered batches so transfer overlaps compute.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
-     "best_fps": N, "windows": [...], "device_fps": N, "device_batch": N,
+     "best_fps": N, "windows": [...], "tracked_fps_i4": N,
+     "device_fps": N, "device_batch": N,
      "device_fps_sync_b<B>": N, "flops_per_frame": N, "mfu": N,
      "fused_fps": N, "fused_device_fps": N, "fused_device_fps_b<B>": N,
      "fused_device_fps_nobox": N, "fused_device_fps_typical": N,
@@ -18,6 +19,13 @@ Prints ONE JSON line:
      "typical_conf": [f, p], "link_h2d_mbps": N}
 
 (`benchmarks/stage_breakdown.py` decomposes one e2e cycle per stage.)
+
+tracked_fps_i4 is the same e2e stream under detection-interval tracking
+([TPU] detect_interval = 4, pipeline/tracking.py): full detection on every
+4th frame, gap frames covered by interpolated keyframe boxes mosaicked on
+the host without touching the device. The headline `value` keeps the
+reference per-frame-detection protocol; tracked_fps_i4 is the measured win
+of the production knob on this host.
 
 value is the MEDIAN of N e2e windows — the honest steady-state headline
 (stage_breakdown attributes window spread entirely to h2d link weather);
@@ -156,6 +164,27 @@ def main() -> None:
         window_fps.append(n_frames / dt)
     best_fps = max(window_fps)
     fps = float(np.median(window_fps))  # headline = median (honest steady state)
+
+    # ---- tracked_fps_i4: the same e2e stream with detection-interval
+    # tracking (pipeline/tracking.py) at interval=4 — detect every 4th
+    # frame on the chip, cover the gap frames with IoU-matched interpolated
+    # keyframe boxes mosaicked on the host. Gap frames never cross the
+    # link, so on link-bound hosts e2e scales toward interval x. Reported
+    # ALONGSIDE the headline (the headline stays full per-frame detection,
+    # the reference protocol); this is the production knob's measured win.
+    tracked_fps = None
+    if os.environ.get("BENCH_TRACKED", "1") == "1":
+        from video_desensitization_tpu.pipeline.tracking import TrackingEngine
+
+        teng = TrackingEngine(pipe, interval=4, detect_batch=batch)
+        t_windows = []
+        for _ in range(max(1, windows // 2)):
+            t0 = time.perf_counter()
+            n_frames = 0
+            for res in teng.process_stream(frames for _ in range(n_batches)):
+                n_frames += res.frames.shape[0]
+            t_windows.append(n_frames / (time.perf_counter() - t0))
+        tracked_fps = float(np.median(t_windows))
 
     # ---- device-program fps: the fused two-detector program alone, with
     # device-resident letterboxed input and boxes-only readback. This is the
@@ -396,6 +425,7 @@ def main() -> None:
                 "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps else None,
                 "best_fps": round(best_fps, 2),
                 "windows": [round(w, 2) for w in window_fps],
+                "tracked_fps_i4": round(tracked_fps, 2) if tracked_fps else None,
                 "device_fps": round(device_fps, 2),
                 "device_batch": dev_batch,
                 "device_fps_sync_b%d" % batch: round(device_fps_sync, 2),

@@ -1,0 +1,229 @@
+"""Privacy-coverage evaluation of detection-interval tracking.
+
+``[TPU] detect_interval = N`` (pipeline/tracking.py) detects on every Nth
+frame and covers the frames in between with IoU-matched, interpolated,
+margin-inflated keyframe boxes. The throughput win is measured by bench.py
+(tracked_fps_i4); THIS harness quantifies the privacy cost: on synthetic
+scenes with known ground-truth motion, what fraction of each true box's
+area do the propagated boxes actually cover on the frames the detector
+never saw?
+
+Scenarios (per-frame ground-truth tracks, keyframe detections = truth +
+corner jitter, optional misses):
+
+- linear:      constant-velocity translation (the model's exact case)
+- curved:      sinusoidal lateral swerve on top of forward motion (a lane
+               change / turning vehicle; tests the inflation envelope
+               against curvature the lerp cannot represent)
+- accelerate:  quadratic motion (closing speed changes between keyframes)
+- scale:       box grows as the subject approaches the camera
+- appear:      subject enters mid-gap (worst case: the earlier keyframe
+               never saw it; coverage before the first sighting is
+               structurally zero — reported separately as `unseen`)
+- jitter_miss: linear motion, 30%% per-keyframe detector miss rate, strong
+               corner jitter (detector flicker robustness)
+
+Metrics per (scenario, interval): mean/min coverage over COVERED gap
+frames, the fraction of gap frames fully covered (coverage >= 0.999),
+`unseen` (gap frames before a track's first keyframe sighting — no
+propagation scheme can cover these; the knob's real privacy exposure),
+and area_overhead (extra blurred area / true area — what the inflation
+envelope costs in over-blur).
+
+Pure numpy, CPU, deterministic. One JSON line per (scenario, interval)
+plus a summary line. Reference behavior = interval 1 (every frame
+detected); the reference itself exposes frame subsampling as
+``convert_video_to_frames(..., interval)`` (combine_detect.py:279) but
+simply DROPS the skipped frames, so any coverage here is strictly better
+than the reference's own subsampling path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from video_desensitization_tpu.pipeline.tracking import propagate_boxes
+
+H, W = 1080, 1920
+BOX_W, BOX_H = 90.0, 110.0  # a near-field face/plate at 1080p
+
+
+def _clip_box(b):
+    return [
+        max(0.0, b[0]), max(0.0, b[1]), min(float(W), b[2]), min(float(H), b[3])
+    ]
+
+
+def make_track(scenario: str, n_frames: int, rng) -> list:
+    """Ground-truth box per frame (None before the subject appears)."""
+    # Velocities are scaled so every track stays fully in-frame over the
+    # default 240 frames — otherwise late-track numbers measure frame-edge
+    # clipping artifacts instead of propagation quality.
+    t = np.arange(n_frames, dtype=np.float64)
+    if scenario == "linear":
+        x = 200 + 6.5 * t
+        y = 400 + 2.2 * t
+        w = np.full(n_frames, BOX_W)
+        h = np.full(n_frames, BOX_H)
+    elif scenario == "curved":
+        x = 200 + 5.5 * t + 120.0 * np.sin(t / 9.0)
+        y = 350 + 1.5 * t + 60.0 * np.cos(t / 7.0)
+        w = np.full(n_frames, BOX_W)
+        h = np.full(n_frames, BOX_H)
+    elif scenario == "accelerate":
+        x = 150 + 2.0 * t + 0.02 * t * t  # velocity 2 -> ~11.6 px/frame
+        y = 300 + 0.5 * t + 0.006 * t * t
+        w = np.full(n_frames, BOX_W)
+        h = np.full(n_frames, BOX_H)
+    elif scenario == "scale":
+        x = 800 + 3.0 * t
+        y = 250 + 1.5 * t
+        s = 1.0 + 0.0035 * t  # approaching: ~1.8x by the end
+        w = BOX_W * s
+        h = BOX_H * s
+    elif scenario in ("appear", "jitter_miss"):
+        x = 200 + 6.5 * t
+        y = 400 + 2.2 * t
+        w = np.full(n_frames, BOX_W)
+        h = np.full(n_frames, BOX_H)
+    else:
+        raise ValueError(scenario)
+    track = []
+    appear_at = n_frames // 3 if scenario == "appear" else 0
+    for i in range(n_frames):
+        if i < appear_at:
+            track.append(None)
+        else:
+            track.append(_clip_box([x[i], y[i], x[i] + w[i], y[i] + h[i]]))
+    return track
+
+
+def detect_at(track, idx, scenario, rng):
+    """Simulated keyframe detection: truth + corner jitter, maybe missed."""
+    truth = track[idx]
+    if truth is None:
+        return []
+    jitter = 6.0 if scenario == "jitter_miss" else 2.0
+    if scenario == "jitter_miss" and rng.random() < 0.3:
+        return []  # detector blinked on this keyframe
+    b = np.asarray(truth) + rng.normal(0.0, jitter, 4)
+    return [_clip_box(b.tolist())]
+
+
+def coverage_of(truth, boxes) -> float:
+    """Fraction of the truth box's area covered by the union of boxes
+    (exact, via a 1-px grid over the truth ROI — truth boxes are small)."""
+    x1, y1, x2, y2 = (int(np.floor(truth[0])), int(np.floor(truth[1])),
+                      int(np.ceil(truth[2])), int(np.ceil(truth[3])))
+    if x2 <= x1 or y2 <= y1:
+        return 1.0
+    covered = np.zeros((y2 - y1, x2 - x1), bool)
+    for b in boxes:
+        bx1 = max(x1, int(np.floor(b[0]))) - x1
+        by1 = max(y1, int(np.floor(b[1]))) - y1
+        bx2 = min(x2, int(np.ceil(b[2]))) - x1
+        by2 = min(y2, int(np.ceil(b[3]))) - y1
+        if bx2 > bx1 and by2 > by1:
+            covered[by1:by2, bx1:bx2] = True
+    return float(covered.mean())
+
+
+def run_scenario(scenario: str, interval: int, n_frames: int, seed: int):
+    rng = np.random.default_rng(seed)
+    track = make_track(scenario, n_frames, rng)
+    kf_idx = list(range(0, n_frames, interval))
+    dets = {k: detect_at(track, k, scenario, rng) for k in kf_idx}
+
+    covs, unseen, extra_area, true_area = [], 0, 0.0, 0.0
+    full = 0
+    n_gap_frames = 0
+    for ki, k in enumerate(kf_idx):
+        k_next = kf_idx[ki + 1] if ki + 1 < len(kf_idx) else None
+        d0 = dets[k]
+        d1 = dets.get(k_next) if k_next is not None else None
+        n_gap = (k_next - k) if k_next is not None else (n_frames - k)
+        per_frame = propagate_boxes(d0, d1, n_gap, (H, W))
+        for j, boxes in enumerate(per_frame):
+            fi = k + 1 + j
+            if fi >= n_frames:
+                break
+            truth = track[fi]
+            if truth is None:
+                continue  # nothing to protect yet
+            if (truth[2] - truth[0]) * (truth[3] - truth[1]) < 4.0:
+                continue  # effectively exited the frame
+            n_gap_frames += 1
+            seen_before = any(
+                kk <= fi and track[kk] is not None and dets[kk]
+                for kk in kf_idx
+            )
+            if not boxes or not seen_before:
+                # No keyframe has sighted the subject yet: structurally
+                # uncoverable by ANY propagation scheme.
+                if not seen_before:
+                    unseen += 1
+                    continue
+            c = coverage_of(truth, boxes)
+            covs.append(c)
+            if c >= 0.999:
+                full += 1
+            ta = (truth[2] - truth[0]) * (truth[3] - truth[1])
+            ba = sum((b[2] - b[0]) * (b[3] - b[1]) for b in boxes)
+            true_area += ta
+            extra_area += max(0.0, ba - ta)
+
+    return {
+        "scenario": scenario,
+        "interval": interval,
+        "gap_frames": n_gap_frames,
+        "coverage_mean": round(float(np.mean(covs)), 4) if covs else None,
+        "coverage_min": round(float(np.min(covs)), 4) if covs else None,
+        "fully_covered_pct": round(100.0 * full / len(covs), 2) if covs else None,
+        "unseen_frames": unseen,
+        "area_overhead": (
+            round(extra_area / true_area, 2) if true_area else None
+        ),
+    }
+
+
+SCENARIOS = ("linear", "curved", "accelerate", "scale", "appear", "jitter_miss")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--intervals", type=int, nargs="+", default=[2, 4, 8])
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    rows = []
+    for scenario in SCENARIOS:
+        for interval in args.intervals:
+            row = run_scenario(scenario, interval, args.frames, args.seed)
+            rows.append(row)
+            print(json.dumps(row))
+    mins = [r["coverage_min"] for r in rows if r["coverage_min"] is not None]
+    means = [r["coverage_mean"] for r in rows if r["coverage_mean"] is not None]
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_coverage_summary",
+                "scenarios": len(SCENARIOS),
+                "intervals": args.intervals,
+                "coverage_mean_overall": round(float(np.mean(means)), 4),
+                "coverage_min_overall": round(float(np.min(mins)), 4),
+                "unseen_total": sum(r["unseen_frames"] for r in rows),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

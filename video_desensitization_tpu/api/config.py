@@ -79,6 +79,12 @@ class PipelineConfig:
     # throughput matters more than bitrate efficiency.
     encode_preset: str = "medium"
     encode_bitrate: int = 10_000_000
+    # Detect every Nth frame of an ordered stream and cover the frames in
+    # between with IoU-matched, interpolated, margin-inflated keyframe boxes
+    # pixelated on the host (pipeline/tracking.py). 1 = reference behavior
+    # (detect every frame). Only the single-stream ordered path tracks;
+    # images-directory and multicam co-batch jobs keep per-frame detection.
+    detect_interval: int = 1
 
     @property
     def encode_kwargs(self) -> dict:
@@ -129,6 +135,7 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
         cfg.transfer = t.get("transfer", cfg.transfer)
         cfg.co_batch = t.getboolean("co_batch", cfg.co_batch)
         cfg.anonymizer = t.get("anonymizer", cfg.anonymizer)
+        cfg.detect_interval = t.getint("detect_interval", cfg.detect_interval)
     if cfg.engine not in ("tiered", "fused", "auto"):
         raise ValueError(
             f"[TPU] engine must be 'tiered', 'fused', or 'auto', got {cfg.engine!r}"
@@ -138,5 +145,9 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
     if cfg.anonymizer not in ("mosaic", "gaussian"):
         raise ValueError(
             f"[TPU] anonymizer must be 'mosaic' or 'gaussian', got {cfg.anonymizer!r}"
+        )
+    if cfg.detect_interval < 1:
+        raise ValueError(
+            f"[TPU] detect_interval must be >= 1, got {cfg.detect_interval}"
         )
     return cfg

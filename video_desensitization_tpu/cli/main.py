@@ -157,20 +157,31 @@ def build_engine(cfg, with_plates: bool = True, allow_random: bool = False):
                 "(use engine=fused for multi-chip batch sharding)",
                 cfg.mesh_data,
             )
-        return TieredPipeline(
+        engine = TieredPipeline(
             face,
             plate,
             mosaic_level=cfg.mosaic_level,
             transfer=cfg.transfer,
             anonymizer=cfg.anonymizer,
         )
-    return DesensitizationEngine(
-        face,
-        plate,
-        mosaic_level=cfg.mosaic_level,
-        mesh=mesh,
-        anonymizer=cfg.anonymizer,
-    )
+    else:
+        engine = DesensitizationEngine(
+            face,
+            plate,
+            mosaic_level=cfg.mosaic_level,
+            mesh=mesh,
+            anonymizer=cfg.anonymizer,
+        )
+    interval = getattr(cfg, "detect_interval", 1)
+    if interval > 1:
+        from video_desensitization_tpu.pipeline.tracking import TrackingEngine
+
+        get_logger("cli").info(
+            "detect_interval=%d: keyframe detection + host-propagated "
+            "coverage on ordered streams (pipeline/tracking.py)", interval,
+        )
+        engine = TrackingEngine(engine, interval=interval)
+    return engine
 
 
 def main(argv=None) -> int:

@@ -7,10 +7,12 @@ from video_desensitization_tpu.pipeline.service import (
     ServiceConfig,
 )
 from video_desensitization_tpu.pipeline.throughput import TieredPipeline
+from video_desensitization_tpu.pipeline.tracking import TrackingEngine
 
 __all__ = [
     "DesensitizationEngine",
     "DesensitizationService",
     "ServiceConfig",
     "TieredPipeline",
+    "TrackingEngine",
 ]

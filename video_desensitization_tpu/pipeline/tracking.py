@@ -1,0 +1,396 @@
+"""Detection-interval tracking: detect every Nth frame, cover the rest.
+
+The reference detects on EVERY frame (combine_detect.py:183-277) and its
+frame extractor already exposes subsampling as a knob —
+``convert_video_to_frames(..., interval=1)`` (combine_detect.py:279) — but
+that path simply drops the skipped frames from the output. This module
+keeps every frame and instead amortizes the detector: full detection runs
+on keyframes (every ``interval``-th frame of an ordered stream), and the
+frames in between are covered by IoU-matched, linearly-interpolated,
+margin-inflated keyframe detections pixelated ON THE HOST. Gap frames never
+touch the device, so on link-bound hosts end-to-end throughput scales with
+``interval`` on top of skipping the detector FLOPs.
+
+Privacy semantics (the knobs exist to be tuned, the defaults to be safe):
+
+- Keyframes are byte-identical to the non-tracking pipeline — same device
+  program, same mosaic.
+- A box seen at both flanking keyframes is linearly interpolated; linear
+  motion is covered exactly (test-proven) and the inflation envelope
+  (``margin`` x box size + ``motion_slack`` x observed displacement, peaked
+  mid-gap) absorbs detector jitter and curvature.
+- A box seen at only ONE flanking keyframe (object appeared, disappeared,
+  or the detector blinked) is applied across the WHOLE gap, growing by
+  ``appear_slack`` x box size toward the unseen side, so single-keyframe
+  misses do not open holes.
+- ``interval=1`` is the identity: every frame is a keyframe.
+
+Use via ``TrackingEngine`` wrapping a fused or tiered engine, or
+``[TPU] detect_interval = N`` in config.ini. The wrapper only tracks on the
+ordered single-stream path (``process_stream``); unordered calls
+(``process_batch`` — the images directory and multicam co-batch paths)
+delegate to the base engine's full per-frame detection, where frame order
+is interleaved across cameras and propagation would be wrong.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from video_desensitization_tpu.ops.mosaic import (
+    gaussian_blur_host_inplace,
+    mosaic_host_inplace,
+    mosaic_i420_host_inplace,
+)
+from video_desensitization_tpu.pipeline.engine import EngineResult
+from video_desensitization_tpu.utils.logging import get_logger
+
+Box = Sequence[float]  # [x1, y1, x2, y2] in pixels
+
+
+def iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of two (N,4) / (M,4) xyxy box arrays -> (N, M)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def greedy_match(
+    a: np.ndarray, b: np.ndarray, iou_thresh: float = 0.3
+) -> Tuple[List[Tuple[int, int]], List[int], List[int]]:
+    """Greedy best-first IoU matching.
+
+    Returns (pairs, unmatched_a, unmatched_b); a pair is accepted only at
+    IoU >= iou_thresh, each box matched at most once.
+    """
+    iou = iou_matrix(a, b).copy()
+    pairs: List[Tuple[int, int]] = []
+    used_a: set = set()
+    used_b: set = set()
+    while iou.size:
+        i, j = np.unravel_index(np.argmax(iou), iou.shape)
+        if iou[i, j] < iou_thresh:
+            break
+        pairs.append((int(i), int(j)))
+        used_a.add(int(i))
+        used_b.add(int(j))
+        iou[i, :] = -1.0
+        iou[:, j] = -1.0
+    un_a = [i for i in range(len(a)) if i not in used_a]
+    un_b = [j for j in range(len(b)) if j not in used_b]
+    return pairs, un_a, un_b
+
+
+def _inflate_clip(
+    b: np.ndarray, pad_x: float, pad_y: float, w: int, h: int
+) -> Optional[List[float]]:
+    x1 = max(0.0, float(b[0]) - pad_x)
+    y1 = max(0.0, float(b[1]) - pad_y)
+    x2 = min(float(w), float(b[2]) + pad_x)
+    y2 = min(float(h), float(b[3]) + pad_y)
+    if x2 - x1 < 1.0 or y2 - y1 < 1.0:
+        return None
+    return [x1, y1, x2, y2]
+
+
+def propagate_boxes(
+    d0: Sequence[Box],
+    d1: Optional[Sequence[Box]],
+    n_gap: int,
+    frame_hw: Tuple[int, int],
+    margin: float = 0.2,
+    motion_slack: float = 0.5,
+    appear_slack: float = 0.5,
+    iou_thresh: float = 0.3,
+) -> List[List[List[float]]]:
+    """Cover the ``n_gap - 1`` frames strictly between two keyframes.
+
+    d0 / d1: pixel boxes detected at the earlier / later keyframe
+    (``d1=None`` for a stream tail after the last keyframe). Returns one
+    box list per intermediate frame, in time order. Matched boxes are
+    lerped and inflated by ``margin``x size plus a mid-gap-peaked
+    ``motion_slack``x displacement term; one-sided boxes persist across
+    the gap growing by ``appear_slack``x size toward the unseen end.
+    """
+    h, w = frame_hw
+    a0 = np.asarray(d0, np.float64).reshape(-1, 4)
+    out: List[List[List[float]]] = [[] for _ in range(max(0, n_gap - 1))]
+    if d1 is None:
+        a1 = np.zeros((0, 4))
+        pairs: List[Tuple[int, int]] = []
+        un0 = list(range(len(a0)))
+        un1: List[int] = []
+    else:
+        a1 = np.asarray(d1, np.float64).reshape(-1, 4)
+        pairs, un0, un1 = greedy_match(a0, a1, iou_thresh)
+    for j in range(max(0, n_gap - 1)):
+        alpha = (j + 1) / n_gap
+        boxes: List[List[float]] = []
+        for i0, i1 in pairs:
+            b0, b1 = a0[i0], a1[i1]
+            b = (1 - alpha) * b0 + alpha * b1
+            delta = np.abs(b1 - b0)
+            peak = 2.0 * motion_slack * alpha * (1 - alpha)
+            pad_x = margin * (b[2] - b[0]) + peak * max(delta[0], delta[2])
+            pad_y = margin * (b[3] - b[1]) + peak * max(delta[1], delta[3])
+            boxes.append(_inflate_clip(b, pad_x, pad_y, w, h))
+        for i0 in un0:
+            b = a0[i0]
+            gx = (margin + alpha * appear_slack) * (b[2] - b[0])
+            gy = (margin + alpha * appear_slack) * (b[3] - b[1])
+            boxes.append(_inflate_clip(b, gx, gy, w, h))
+        for i1 in un1:
+            b = a1[i1]
+            gx = (margin + (1 - alpha) * appear_slack) * (b[2] - b[0])
+            gy = (margin + (1 - alpha) * appear_slack) * (b[3] - b[1])
+            boxes.append(_inflate_clip(b, gx, gy, w, h))
+        out[j] = [bx for bx in boxes if bx is not None]
+    return out
+
+
+class TrackingEngine:
+    """Wrap a desensitization engine with detection-interval tracking.
+
+    Streaming (``process_stream``) runs full detection on every
+    ``interval``-th frame through the base engine (pipelined via
+    ``dispatch_batch`` when the base is fused) and host-pixelates the gap
+    frames under propagated boxes. Everything else — ``process_batch``,
+    ``process_batch_yuv``, ``dispatch_batch``, ``letterbox_batch``, … —
+    delegates untouched to the base engine, so the images-directory and
+    multicam co-batch paths keep exact per-frame detection.
+
+    RAM bound: up to ``(depth + 1) * detect_batch * interval`` raw frames
+    are buffered while detections are in flight (~(depth+1)*db*N*6 MB at
+    1080p RGB, half that for I420 transport).
+    """
+
+    def __init__(
+        self,
+        base,
+        interval: int = 4,
+        detect_batch: int = 4,
+        margin: float = 0.2,
+        motion_slack: float = 0.5,
+        appear_slack: float = 0.5,
+        iou_match: float = 0.3,
+        depth: int = 2,
+        blur_workers: int = 4,
+    ):
+        if interval < 1:
+            raise ValueError(f"interval must be >= 1, got {interval}")
+        self.base = base
+        self.interval = int(interval)
+        self.detect_batch = max(1, int(detect_batch))
+        self.margin = margin
+        self.motion_slack = motion_slack
+        self.appear_slack = appear_slack
+        self.iou_match = iou_match
+        self.depth = max(0, int(depth))
+        self.blur_workers = max(1, int(blur_workers))
+        self.log = get_logger("tracking")
+
+    def __getattr__(self, name):
+        # Delegate everything undefined here (process_batch, dispatch_batch,
+        # process_batch_yuv, mosaic_level, face, plate, ...) to the base
+        # engine. Note hasattr(self, "dispatch_batch") is then true, and the
+        # streaming device stage checks process_stream FIRST — which is why
+        # tracking engages only on the ordered stream path.
+        return getattr(self.base, name)
+
+    # ---------------------------------------------------------------- blur
+    def _blur_host(self, frame: np.ndarray, boxes: List[List[float]]):
+        """Pixelate propagated boxes on one raw frame, in place.
+
+        frame: (H, W, 3) RGB or (H*3/2, W) planar I420 (a contiguous view
+        into the decode batch — we own the buffer)."""
+        if not boxes:
+            return
+        level = getattr(self.base, "mosaic_level", 8)
+        anonymizer = getattr(self.base, "anonymizer", "mosaic")
+        if frame.ndim == 3:
+            if anonymizer == "gaussian":
+                gaussian_blur_host_inplace(frame, boxes)
+            else:
+                mosaic_host_inplace(frame, boxes, level)
+            return
+        # Planar I420.
+        if anonymizer == "gaussian":
+            h15, w = frame.shape
+            h = (h15 * 2) // 3
+            gaussian_blur_host_inplace(frame[:h], boxes)
+            cb = [
+                [x1 / 2, y1 / 2, (x2 + 1) / 2, (y2 + 1) / 2]
+                for x1, y1, x2, y2 in boxes
+            ]
+            u = frame[h : h + h // 4].reshape(h // 2, w // 2)
+            v = frame[h + h // 4 :].reshape(h // 2, w // 2)
+            gaussian_blur_host_inplace(u, cb, sigma=3.0, kernel_radius=6)
+            gaussian_blur_host_inplace(v, cb, sigma=3.0, kernel_radius=6)
+        else:
+            mosaic_i420_host_inplace(frame, boxes, level)
+
+    @staticmethod
+    def _frame_hw(frame: np.ndarray) -> Tuple[int, int]:
+        if frame.ndim == 3:
+            return frame.shape[0], frame.shape[1]
+        return (frame.shape[0] * 2) // 3, frame.shape[1]
+
+    # ------------------------------------------------------------- detect
+    def _dispatch(self, kf_frames: List[np.ndarray]):
+        # Pad a partial (flush-time) batch to detect_batch by repeating the
+        # last keyframe: base-engine programs are shape-specialized, and a
+        # one-off tail shape would trigger a fresh XLA compile (minutes on a
+        # cold cache). Callers only read the first len(kf_frames) results.
+        if len(kf_frames) < self.detect_batch:
+            pad = [kf_frames[-1]] * (self.detect_batch - len(kf_frames))
+            kf_frames = kf_frames + pad
+        batch = np.stack(kf_frames)
+        if hasattr(self.base, "dispatch_batch"):
+            return ("handle", self.base.dispatch_batch(batch))
+        return ("result", self.base.process_batch(batch))
+
+    def _finalize(self, token):
+        kind, payload = token
+        if kind == "handle":
+            return self.base.finalize_batch(payload)
+        return payload
+
+    # -------------------------------------------------------------- stream
+    def process_stream(
+        self, batches: Iterable[np.ndarray]
+    ) -> Iterator[EngineResult]:
+        """Desensitize an ordered frame stream, one result per frame.
+
+        Yields :class:`EngineResult` objects whose ``frames`` is a single
+        frame ``(1, ...)`` view, in input order. ``num_faces``/``num_plates``
+        count blurred regions (detections on keyframes, propagated boxes on
+        gap frames)."""
+        if self.interval == 1:
+            yield from self._passthrough(batches)
+            return
+
+        # segments: one per keyframe, in time order. Each holds the gap
+        # frames that follow its keyframe and, once known, the keyframe's
+        # detection result. A segment is emitted when the NEXT segment's
+        # detection (its d1) is known.
+        segments: "deque[dict]" = deque()
+        pending: "deque[Tuple[object, int]]" = deque()  # (token, n_keyframes)
+        kf_buf: List[np.ndarray] = []
+        pool = ThreadPoolExecutor(
+            max_workers=self.blur_workers, thread_name_prefix="vdt-track"
+        )
+
+        def assign(res, n):
+            # Results of one detect batch belong to the first n detection-
+            # less segments, in order (dispatch order == segment order).
+            it = (s for s in segments if s["det"] is None)
+            for i in range(n):
+                seg = next(it)
+                seg["det"] = (
+                    res.frames[i],
+                    res.face_boxes[i],
+                    res.plate_boxes[i],
+                )
+
+        def drain_ready():
+            while (
+                len(segments) >= 2
+                and segments[0]["det"] is not None
+                and segments[1]["det"] is not None
+            ):
+                seg = segments.popleft()
+                yield from self._emit(seg, segments[0]["det"], pool)
+
+        try:
+            idx = 0
+            for batch in batches:
+                for frame in batch:
+                    if idx % self.interval == 0:
+                        segments.append({"gap": [], "det": None})
+                        kf_buf.append(frame)
+                        if len(kf_buf) >= self.detect_batch:
+                            pending.append((self._dispatch(kf_buf), len(kf_buf)))
+                            kf_buf = []
+                        while len(pending) > self.depth:
+                            token, n = pending.popleft()
+                            assign(self._finalize(token), n)
+                            yield from drain_ready()
+                    else:
+                        segments[-1]["gap"].append(frame)
+                    idx += 1
+            # Flush: dispatch the partial keyframe batch, finalize all
+            # in-flight work, then emit every remaining segment (the last
+            # one against d1=None — the stream tail).
+            if kf_buf:
+                pending.append((self._dispatch(kf_buf), len(kf_buf)))
+            while pending:
+                token, n = pending.popleft()
+                assign(self._finalize(token), n)
+            yield from drain_ready()
+            if segments:
+                seg = segments.popleft()
+                assert not segments and seg["det"] is not None
+                yield from self._emit(seg, None, pool)
+        finally:
+            pool.shutdown(wait=True)
+
+    def _emit(
+        self, seg: dict, next_det: Optional[tuple], pool: ThreadPoolExecutor
+    ) -> Iterator[EngineResult]:
+        kf_frame, faces0, plates0 = seg["det"]
+        yield EngineResult(
+            frames=np.asarray(kf_frame)[None],
+            face_boxes=[faces0],
+            plate_boxes=[plates0],
+            num_faces=len(faces0),
+            num_plates=len(plates0),
+        )
+        gap = seg["gap"]
+        if not gap:
+            return
+        n_gap = len(gap) + 1
+        hw = self._frame_hw(gap[0])
+        kw = dict(
+            margin=self.margin,
+            motion_slack=self.motion_slack,
+            appear_slack=self.appear_slack,
+            iou_thresh=self.iou_match,
+        )
+        d1f = next_det[1] if next_det is not None else None
+        d1p = next_det[2] if next_det is not None else None
+        faces_t = propagate_boxes(faces0, d1f, n_gap, hw, **kw)
+        plates_t = propagate_boxes(plates0, d1p, n_gap, hw, **kw)
+        futs = [
+            pool.submit(self._blur_host, frame, faces_t[j] + plates_t[j])
+            for j, frame in enumerate(gap)
+        ]
+        for j, (frame, fut) in enumerate(zip(gap, futs)):
+            fut.result()
+            yield EngineResult(
+                frames=frame[None],
+                face_boxes=[faces_t[j]],
+                plate_boxes=[plates_t[j]],
+                num_faces=len(faces_t[j]),
+                num_plates=len(plates_t[j]),
+            )
+
+    def _passthrough(self, batches) -> Iterator[EngineResult]:
+        if hasattr(self.base, "process_stream"):
+            yield from self.base.process_stream(batches)
+            return
+        for batch in batches:
+            if batch.ndim == 3 and hasattr(self.base, "process_batch_yuv"):
+                yield self.base.process_batch_yuv(batch)
+            else:
+                yield self.base.process_batch(batch)
