@@ -11,12 +11,12 @@ host mosaic, with double-buffered batches so transfer overlaps compute.
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
      "best_fps": N, "windows": [...], "tracked_fps_i4": N,
-     "device_fps": N, "device_batch": N,
+     "tracked_fps_i4_typical": N, "device_fps": N, "device_batch": N,
      "device_fps_sync_b<B>": N, "flops_per_frame": N, "mfu": N,
      "fused_fps": N, "fused_device_fps": N, "fused_device_fps_b<B>": N,
      "fused_device_fps_nobox": N, "fused_device_fps_typical": N,
      "fused_device_fps_yuv": N,
-     "typical_conf": [f, p], "link_h2d_mbps": N}
+     "typical_load": [3, 1], "link_h2d_mbps": N}
 
 (`benchmarks/stage_breakdown.py` decomposes one e2e cycle per stage.)
 
@@ -46,11 +46,14 @@ number engine=auto's threshold extrapolates from). Random-init weights
 make that a WORST-CASE mosaic load; fused_device_fps_nobox reruns it with
 confidence above any score (NMS keeps nothing) to pin the opposite,
 detect-bound end. fused_device_fps_typical MEASURES the realistic
-mid-load point: per-detector confidence calibrated from the worst-case
-run's kept scores so ~3 faces + ~1 plate survive per frame (box sizes
-remain random-init-large, so this still overstates real footage's cost;
-the kernel's typical-load cost is ~44 us/frame,
-benchmarks/mosaic_bench.py).
+mid-load point with STRUCTURAL top-k caps (max_detections = 3 faces +
+1 plate — typical_load reports the caps): exactly that many boxes
+survive NMS per frame regardless of the random-init score distribution
+(box sizes remain random-init-large, so this still overstates real
+footage's cost; the kernel's typical-load cost is ~44 us/frame,
+benchmarks/mosaic_bench.py). tracked_fps_i4_typical is the tracked e2e
+stream at the same caps — the production-realistic gap-frame host blur
+cost, vs tracked_fps_i4's worst-case ~24 giant boxes per gap frame.
 
 vs_baseline divides by the reference-structure CPU-path measurement cached in
 benchmarks/cpu_baseline.json (re-derive with benchmarks/cpu_baseline.py).
@@ -72,7 +75,7 @@ def main() -> None:
     import jax
 
     # BENCH_SMOKE=1: tiny shapes on the CPU backend — validates every code
-    # path of this script (incl. the calibrated typical-load block) in ~2
+    # path of this script (incl. the top-k-capped typical-load blocks) in ~2
     # minutes without a TPU. The printed numbers are meaningless; the run
     # exercises the full contract the driver depends on.
     smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
@@ -98,16 +101,20 @@ def main() -> None:
     # pass ~50% of anchors at conf 0.5 (real checkpoints produce 1-5 boxes
     # per frame), so an uncapped run measures an unrealistic mosaic load;
     # 16 faces + 8 plates per frame is still generous vs. real footage.
-    # ONE constructor for the three fused bounds (worst/nobox/typical) so
-    # they can never drift apart in anything but the confidence threshold.
-    def make_detectors(face_conf, plate_conf):
+    # ONE constructor for the fused bounds (worst/nobox/typical) so they
+    # can never drift apart in anything but threshold and top-k cap. The
+    # "typical" load is STRUCTURAL: max_detections=3 faces + 1 plate caps
+    # NMS itself, so exactly that many boxes survive per frame regardless
+    # of the random-init score distribution (the round-3 score-rank
+    # calibration saturated at 1.0 and selected an arbitrary subset).
+    def make_detectors(face_conf, plate_conf, face_k=16, plate_k=8):
         f = Retinaface(
             model_path=None,
             backbone=backbone,
             input_shape=[input_size, input_size, 3],
             confidence=face_conf,
             nms_iou=0.4,
-            max_detections=16,
+            max_detections=face_k,
             dtype=model_dtype,
         )
         p = PlateDetector(
@@ -115,7 +122,7 @@ def main() -> None:
             variant="n",
             confidence=plate_conf,
             input_shape=(input_size, input_size),
-            max_detections=8,
+            max_detections=plate_k,
             dtype=model_dtype,
         )
         return f, p
@@ -173,18 +180,38 @@ def main() -> None:
     # ALONGSIDE the headline (the headline stays full per-frame detection,
     # the reference protocol); this is the production knob's measured win.
     tracked_fps = None
+    tracked_fps_typical = None
     if os.environ.get("BENCH_TRACKED", "1") == "1":
         from video_desensitization_tpu.pipeline.tracking import TrackingEngine
 
-        teng = TrackingEngine(pipe, interval=4, detect_batch=batch)
-        t_windows = []
-        for _ in range(max(1, windows // 2)):
-            t0 = time.perf_counter()
-            n_frames = 0
-            for res in teng.process_stream(frames for _ in range(n_batches)):
-                n_frames += res.frames.shape[0]
-            t_windows.append(n_frames / (time.perf_counter() - t0))
-        tracked_fps = float(np.median(t_windows))
+        def _tracked_median(base_pipe) -> float:
+            # Fresh copies per batch: gap frames are blurred IN PLACE (the
+            # engine owns decode buffers in production), and the per-frame-
+            # detection windows above get fresh-content batches too.
+            t_windows = []
+            for _ in range(max(1, windows // 2)):
+                teng = TrackingEngine(base_pipe, interval=4, detect_batch=batch)
+                t0 = time.perf_counter()
+                n_frames = 0
+                for res in teng.process_stream(
+                    frames.copy() for _ in range(n_batches)
+                ):
+                    n_frames += res.frames.shape[0]
+                t_windows.append(n_frames / (time.perf_counter() - t0))
+            return float(np.median(t_windows))
+
+        tracked_fps = _tracked_median(pipe)
+        # The number above host-blurs gap frames at the random-init
+        # WORST-CASE load (~24 giant boxes/frame); tracked_fps_i4_typical
+        # measures the production-realistic gap cost with the structural
+        # ~3-faces + 1-plate top-k caps (same caps as the fused typical).
+        if os.environ.get("BENCH_TRACKED_TYPICAL", "1") == "1":
+            face_tt, plate_tt = make_detectors(0.5, 0.5, face_k=3, plate_k=1)
+            pipe_tt = TieredPipeline(
+                face_tt, plate_tt, mosaic_level=8, transfer=pipe.transfer
+            )
+            pipe_tt.process_batch(frames)  # compile + warm
+            tracked_fps_typical = _tracked_median(pipe_tt)
 
     # ---- device-program fps: the fused two-detector program alone, with
     # device-resident letterboxed input and boxes-only readback. This is the
@@ -270,7 +297,7 @@ def main() -> None:
     fused_device_fps_nobox = None
     fused_device_fps_typical = None
     fused_device_fps_yuv = None
-    typical_conf = None
+    typical_load = None
     if os.environ.get("BENCH_FUSED", "1") == "1":
         from video_desensitization_tpu.pipeline.engine import (
             DesensitizationEngine,
@@ -345,40 +372,15 @@ def main() -> None:
                 pvars=plate_nb.variables,
             )
 
-        # fused_device_fps_typical: MEASURE the realistic mid-load point
-        # instead of estimating it. Calibrate per-detector confidence
-        # thresholds from the worst-case run's kept scores so the random-
-        # init detectors keep ~3 faces + ~1 plate per frame (real-footage
-        # load), then time the same fused program at those thresholds.
+        # fused_device_fps_typical: MEASURE the realistic mid-load point.
+        # Top-k-capped detectors (max_detections = 3 faces / 1 plate, NMS
+        # keeps exactly that many under random-init's saturated scores)
+        # guarantee the stated ~3-faces + 1-plate per-frame load
+        # STRUCTURALLY; box sizes remain random-init-large, so this still
+        # overstates real footage's mosaic cost.
         if os.environ.get("BENCH_FUSED_TYPICAL", "1") == "1":
-            # Calibrate from the FUSED engine's own outputs (raw-RGB frames
-            # + device letterbox — the exact path the typical run times; the
-            # tiered program's yuv420 roundtrip sees different pixels and
-            # hence a different score distribution near the threshold).
-            reps = int(np.ceil(dev_batch / frames.shape[0]))
-            stack = np.concatenate([frames] * reps)[:dev_batch]
-            fr_cal = jnp.asarray(stack.reshape(dev_batch, stack.shape[1], -1))
-            sh_cal = jnp.asarray(np.tile(frame_shape_row, (dev_batch, 1)))
-            out_cal = engine._program(face.variables, plate_vars, fr_cal, sh_cal)
-            f_px, f_keep = np.asarray(out_cal[1]), np.asarray(out_cal[2])
-            p_px, p_keep = np.asarray(out_cal[3]), np.asarray(out_cal[4])
-            # Suppressed rows stay in place (keep=False, zeroed), so slot
-            # index != kept rank: sort the kept scores per frame descending
-            # and take the rank-N score — the threshold that keeps N.
-            f_scores = np.sort(np.where(f_keep, f_px[..., 4], 0.0), axis=1)[:, ::-1]
-            p_scores = np.sort(np.where(p_keep, p_px[..., 4], 0.0), axis=1)[:, ::-1]
-            # Frames with fewer keeps than the target rank contribute 0s;
-            # exclude them from the median (falling back to the base
-            # threshold if no frame reaches the rank).
-            f3, p1 = f_scores[:, 2], p_scores[:, 0]
-            face_conf_t = (
-                float(np.median(f3[f3 > 0])) if (f3 > 0).any() else 0.5
-            )  # ~3 faces/frame
-            plate_conf_t = (
-                float(np.median(p1[p1 > 0])) if (p1 > 0).any() else 0.5
-            )  # ~1 plate/frame
-            face_t, plate_t = make_detectors(face_conf_t, plate_conf_t)
-            typical_conf = [round(face_conf_t, 4), round(plate_conf_t, 4)]
+            face_t, plate_t = make_detectors(0.5, 0.5, face_k=3, plate_k=1)
+            typical_load = [3, 1]
             engine_t = DesensitizationEngine(face_t, plate_t, mosaic_level=8)
             fused_device_fps_typical = _fused_device(
                 dev_batch,
@@ -426,6 +428,9 @@ def main() -> None:
                 "best_fps": round(best_fps, 2),
                 "windows": [round(w, 2) for w in window_fps],
                 "tracked_fps_i4": round(tracked_fps, 2) if tracked_fps else None,
+                "tracked_fps_i4_typical": (
+                    round(tracked_fps_typical, 2) if tracked_fps_typical else None
+                ),
                 "device_fps": round(device_fps, 2),
                 "device_batch": dev_batch,
                 "device_fps_sync_b%d" % batch: round(device_fps_sync, 2),
@@ -455,7 +460,7 @@ def main() -> None:
                     if fused_device_fps_typical
                     else None
                 ),
-                "typical_conf": typical_conf,
+                "typical_load": typical_load,
                 "link_h2d_mbps": (
                     round(link_h2d_mbps, 1) if link_h2d_mbps else None
                 ),

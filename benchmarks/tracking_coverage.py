@@ -49,7 +49,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from video_desensitization_tpu.pipeline.tracking import propagate_boxes
+from video_desensitization_tpu.pipeline.tracking import (
+    KeyframeTracker,
+    coast_boxes,
+    propagate_boxes,
+)
 
 H, W = 1080, 1920
 BOX_W, BOX_H = 90.0, 110.0  # a near-field face/plate at 1080p
@@ -135,7 +139,9 @@ def coverage_of(truth, boxes) -> float:
     return float(covered.mean())
 
 
-def run_scenario(scenario: str, interval: int, n_frames: int, seed: int):
+def run_scenario(
+    scenario: str, interval: int, n_frames: int, seed: int, coast: int = 3
+):
     rng = np.random.default_rng(seed)
     track = make_track(scenario, n_frames, rng)
     kf_idx = list(range(0, n_frames, interval))
@@ -144,12 +150,19 @@ def run_scenario(scenario: str, interval: int, n_frames: int, seed: int):
     covs, unseen, extra_area, true_area = [], 0, 0.0, 0.0
     full = 0
     n_gap_frames = 0
+    # The exact per-segment cover the TrackingEngine applies: flanking-
+    # keyframe propagation + coasting tracks (TrackingEngine._emit).
+    tracker = KeyframeTracker(coast=coast)
     for ki, k in enumerate(kf_idx):
         k_next = kf_idx[ki + 1] if ki + 1 < len(kf_idx) else None
         d0 = dets[k]
+        coasted = tracker.observe(d0)
         d1 = dets.get(k_next) if k_next is not None else None
         n_gap = (k_next - k) if k_next is not None else (n_frames - k)
         per_frame = propagate_boxes(d0, d1, n_gap, (H, W))
+        _, coast_pf = coast_boxes(coasted, n_gap, (H, W))
+        for j in range(len(per_frame)):
+            per_frame[j].extend(coast_pf[j])
         for j, boxes in enumerate(per_frame):
             fi = k + 1 + j
             if fi >= n_frames:
@@ -201,12 +214,18 @@ def main():
     ap.add_argument("--frames", type=int, default=240)
     ap.add_argument("--intervals", type=int, nargs="+", default=[2, 4, 8])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--coast", type=int, default=3,
+        help="keyframes an unmatched track coasts (TrackingEngine default)",
+    )
     args = ap.parse_args()
 
     rows = []
     for scenario in SCENARIOS:
         for interval in args.intervals:
-            row = run_scenario(scenario, interval, args.frames, args.seed)
+            row = run_scenario(
+                scenario, interval, args.frames, args.seed, coast=args.coast
+            )
             rows.append(row)
             print(json.dumps(row))
     mins = [r["coverage_min"] for r in rows if r["coverage_min"] is not None]

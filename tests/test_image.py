@@ -70,8 +70,8 @@ def test_preprocess_batch_device_shapes_dtype():
 
 def test_resize_linear_cv2_exact_bitwise():
     """The fixed-point device resize must be BITWISE-identical to this cv2
-    build's INTER_LINEAR for downscale geometries (letterbox only
-    downscales). cv2_resize_formula picks the rounding variant per geometry
+    build's INTER_LINEAR for every letterbox geometry — downscale, upscale,
+    and identity. cv2_resize_formula picks the rounding variant per geometry
     by probing cv2 itself."""
     from video_desensitization_tpu.ops.image import (
         cv2_resize_formula,
@@ -85,6 +85,10 @@ def test_resize_linear_cv2_exact_bitwise():
         ((360, 500), (360, 250)),  # h general (2:1), v identity-select
         ((97, 131), (41, 59)),  # both axes general
         ((64, 64), (64, 64)),  # identity
+        ((360, 640), (640, 1138)),  # upscale (border taps double-hit row 0)
+        ((100, 160), (640, 1024)),  # large upscale
+        ((33, 57), (370, 640)),  # extreme upscale, odd dims
+        ((480, 640), (640, 853)),  # mild upscale
     ]
     for src, dst in geoms:
         formula = cv2_resize_formula(src, dst)
@@ -109,9 +113,9 @@ def test_letterbox_device_exact_bitwise_vs_host():
         letterbox_device_exact,
     )
 
-    # all downscale-or-identity letterboxes; sources smaller than the canvas
-    # UPSCALE (reference semantics) and correctly probe to None (fallback)
-    for hw in [(1080, 1920), (480, 640), (931, 1517)]:
+    # downscale, identity, and UPSCALE letterboxes (sources smaller than the
+    # canvas upscale — reference semantics — and are bitwise-exact too)
+    for hw in [(1080, 1920), (480, 640), (931, 1517), (360, 640), (100, 313)]:
         img = RNG.integers(0, 255, (*hw, 3), dtype=np.uint8)
         nh, nw, _, _ = letterbox_params(hw, (640, 640))
         formula = cv2_resize_formula(hw, (nh, nw))
@@ -136,15 +140,22 @@ def test_preprocess_batch_device_auto_exact_matches_host():
         np.testing.assert_array_equal(got[i], want)
 
 
-def test_cv2_resize_formula_upscale_falls_back():
-    """Upscales match neither rounding variant on this build -> None, and
-    preprocess_batch_device falls back to the float path without error."""
+def test_cv2_resize_formula_covers_upscale():
+    """Upscale geometries probe to a bitwise formula on this build (cv2
+    clamps tap indices, not weights — cv2_linear_axis_tables mirrors that),
+    so exact="auto" never falls back for any letterbox, and the tiny-source
+    preprocess path is bitwise against the host letterbox end to end."""
     from video_desensitization_tpu.ops.image import cv2_resize_formula
 
-    assert cv2_resize_formula((100, 200), (300, 600)) is None
-    frames = jnp.asarray(RNG.integers(0, 255, (1, 30, 60, 3), dtype=np.uint8))
-    out = preprocess_batch_device(frames, (640, 640), exact="auto")
-    assert out.shape == (1, 640, 640, 3)
+    assert cv2_resize_formula((100, 200), (300, 600)) is not None
+    frames = RNG.integers(0, 255, (1, 30, 60, 3), dtype=np.uint8)
+    out = np.asarray(
+        preprocess_batch_device(jnp.asarray(frames), (640, 640), exact="auto")
+    )
+    want = letterbox_host(frames[0], (640, 640)).astype(np.float32) - np.array(
+        BGR_MEAN, np.float32
+    )
+    np.testing.assert_array_equal(out[0], want)
 
 
 def test_letterbox_geometry_matches_host_for_awkward_shapes():

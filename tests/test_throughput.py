@@ -213,3 +213,56 @@ def test_yuv420_rejects_odd_content(face):
 
     with _pytest.raises(ValueError, match="yuv420"):
         pipe.process_batch(frames)
+
+
+def test_dispatch_finalize_split_equals_process_batch(pipe):
+    """The async dispatch_batch/finalize_batch split (what TrackingEngine
+    and multicam pipeline keyframe batches through) is exactly
+    process_batch, including with several batches in flight."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 255, (3, 90, 160, 3), np.uint8)
+    b = rng.integers(0, 255, (3, 90, 160, 3), np.uint8)
+    want_a = pipe.process_batch(a)
+    want_b = pipe.process_batch(b)
+    h1 = pipe.dispatch_batch(a)
+    h2 = pipe.dispatch_batch(b)  # two in flight
+    got_a = pipe.finalize_batch(h1)
+    got_b = pipe.finalize_batch(h2)
+    for got, want in ((got_a, want_a), (got_b, want_b)):
+        np.testing.assert_array_equal(got.frames, want.frames)
+        assert got.face_boxes == want.face_boxes
+        assert got.plate_boxes == want.plate_boxes
+
+
+def test_tracking_engine_pipelines_tiered_keyframes(face):
+    """TrackingEngine over a real TieredPipeline drives the handle path:
+    keyframes equal the tiered process_batch output; gap frames are host
+    mosaics of the original under the reported (propagated) boxes."""
+    from video_desensitization_tpu.ops.mosaic import mosaic_host_inplace
+    from video_desensitization_tpu.pipeline.tracking import TrackingEngine
+
+    # coast=0: random weights produce unmatched tracks whose coast cover
+    # would add (correct, but not byte-identical) keyframe blur on top.
+    pipe = TieredPipeline(face, None, mosaic_level=8, transfer="rgb")
+    teng = TrackingEngine(pipe, interval=3, detect_batch=2, depth=1, coast=0)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (9, 90, 160, 3), np.uint8)
+    # copies: the engine blurs gap frames in place (it owns decode batches)
+    results = list(
+        teng.process_stream(iter([frames[:5].copy(), frames[5:].copy()]))
+    )
+    assert len(results) == 9
+    # Oracle keyframes use the SAME batching the engine dispatched ([0,3],
+    # then [6] padded by repetition): XLA float reductions vary with batch
+    # size, and at conf 0.01 random weights sit on the threshold.
+    kf_a = pipe.process_batch(frames[[0, 3]])
+    kf_b = pipe.process_batch(np.stack([frames[6], frames[6]]))
+    for i, idx in enumerate((0, 3)):
+        np.testing.assert_array_equal(results[idx].frames[0], kf_a.frames[i])
+    np.testing.assert_array_equal(results[6].frames[0], kf_b.frames[0])
+    for idx in (1, 2, 4, 5, 7, 8):
+        exp = np.array(frames[idx])
+        mosaic_host_inplace(
+            exp, results[idx].face_boxes[0] + results[idx].plate_boxes[0], 8
+        )
+        np.testing.assert_array_equal(results[idx].frames[0], exp)

@@ -313,3 +313,134 @@ def test_config_plumbing(tmp_path):
     ini.write_text("[PATHS]\n[TPU]\ndetect_interval = 0\n")
     with pytest.raises(ValueError, match="detect_interval"):
         load_config(str(ini), strict=False)
+
+
+# --------------------------------------------------------------------------
+# Coasting: tracks missed at keyframes keep covering (KeyframeTracker)
+# --------------------------------------------------------------------------
+
+from video_desensitization_tpu.pipeline.tracking import (  # noqa: E402
+    KeyframeTracker,
+    coast_boxes,
+)
+
+
+class FlakyBase(FakeBase):
+    """FakeBase whose detector BLINKS on keyframes listed in ``miss_at``:
+    no boxes reported, frame returned unblurred (like a real miss)."""
+
+    def __init__(self, miss_at=(), **kw):
+        super().__init__(**kw)
+        self.miss_at = set(miss_at)
+
+    def process_batch(self, frames):
+        self.batches.append(frames.shape[0])
+        out = np.array(frames)
+        fb, pb = [], []
+        for i in range(out.shape[0]):
+            idx = self.frame_idx(out[i])
+            if idx in self.miss_at:
+                fb.append([])
+            else:
+                box = _truth_box(idx)
+                mosaic_host_inplace(out[i], [box], self.mosaic_level)
+                fb.append([box])
+            pb.append([])
+        return EngineResult(
+            frames=out, face_boxes=fb, plate_boxes=pb,
+            num_faces=sum(len(b) for b in fb), num_plates=0,
+        )
+
+
+def test_keyframe_tracker_coast_snapshots():
+    kt = KeyframeTracker(coast=2)
+    assert kt.observe([[0.0, 0.0, 10.0, 10.0]]) == []
+    assert kt.observe([[10.0, 0.0, 20.0, 10.0]]) == []  # matched: vel learned
+    c1 = kt.observe([])  # miss 1: extrapolated one keyframe forward
+    assert len(c1) == 1 and c1[0]["miss"] == 1
+    np.testing.assert_allclose(c1[0]["box"], [20.0, 0.0, 30.0, 10.0])
+    c2 = kt.observe([])  # miss 2
+    np.testing.assert_allclose(c2[0]["box"], [30.0, 0.0, 40.0, 10.0])
+    assert kt.observe([]) == []  # miss 3 > coast: expired
+    assert kt.tracks == []
+
+
+def test_keyframe_tracker_rematch_after_miss():
+    # Re-sighted after one miss: matched by distance against the
+    # extrapolated position, velocity re-learned over the 2-keyframe span.
+    kt = KeyframeTracker(coast=3)
+    kt.observe([[0.0, 0.0, 10.0, 10.0]])
+    kt.observe([[30.0, 0.0, 40.0, 10.0]])  # vel = 30/keyframe
+    assert len(kt.observe([])) == 1
+    assert kt.observe([[90.0, 0.0, 100.0, 10.0]]) == []  # rematch, no coast
+    assert len(kt.tracks) == 1
+    np.testing.assert_allclose(kt.tracks[0]["vel"], [30.0, 0.0, 30.0, 0.0])
+
+
+def test_keyframe_tracker_fast_motion_matches_without_iou():
+    # Displacement larger than the box (IoU 0) still matches by center
+    # distance — an IoU-gated tracker would duplicate every fast mover.
+    kt = KeyframeTracker(coast=2)
+    kt.observe([[0.0, 0.0, 10.0, 10.0]])
+    assert kt.observe([[20.0, 0.0, 30.0, 10.0]]) == []
+    assert len(kt.tracks) == 1
+
+
+def test_coast_boxes_extrapolation_contains_linear_truth():
+    coasted = [{"box": np.array([100.0, 50.0, 140.0, 90.0]),
+                "vel": np.array([8.0, 4.0, 8.0, 4.0]), "miss": 1}]
+    kf, per_frame = coast_boxes(coasted, n_gap=4, frame_hw=(512, 512))
+    assert len(kf) == 1 and len(per_frame) == 3
+    # Keyframe cover contains the snapshot box.
+    assert kf[0][0] <= 100 and kf[0][2] >= 140
+    for j in range(3):
+        alpha = (j + 1) / 4
+        tx1 = 100 + 8 * alpha
+        ty1 = 50 + 4 * alpha
+        b = per_frame[j][0]
+        assert b[0] <= tx1 and b[1] <= ty1
+        assert b[2] >= tx1 + 40 and b[3] >= ty1 + 40
+
+
+def test_double_miss_still_covered():
+    """A box the detector misses at TWO consecutive keyframes (the round-3
+    hole) is still blurred on those keyframes AND across their gaps."""
+    n, interval = 19, 3
+    frames = _make_frames(n)
+    eng = TrackingEngine(
+        FlakyBase(miss_at={6, 9}), interval=interval, detect_batch=2, coast=3
+    )
+    results = _collect(eng, frames, bs=4)
+    assert len(results) == n
+    for idx in range(n):
+        r = results[idx]
+        boxes = r.face_boxes[0]
+        assert boxes, f"frame {idx} has no cover"
+        tx1, ty1, tx2, ty2 = _truth_box(idx)
+        assert any(
+            b[0] <= tx1 and b[1] <= ty1 and b[2] >= tx2 and b[3] >= ty2
+            for b in boxes
+        ), f"frame {idx} cover does not contain truth"
+    # The missed keyframes were NOT blurred by the base engine; the coast
+    # blur is the host mosaic of the original frame under the coast boxes.
+    for idx in (6, 9):
+        exp = np.array(frames[idx])
+        mosaic_host_inplace(exp, results[idx].face_boxes[0], FakeBase.mosaic_level)
+        np.testing.assert_array_equal(results[idx].frames[0], exp)
+
+
+def test_coast_expires_no_stale_boxes():
+    """coast=1: a track missed at two consecutive keyframes stops covering
+    after the first (no unbounded ghost blur)."""
+    n, interval = 16, 3
+    frames = _make_frames(n)
+    eng = TrackingEngine(
+        FlakyBase(miss_at={6, 9, 12}), interval=interval, detect_batch=2,
+        coast=1,
+    )
+    results = _collect(eng, frames, bs=4)
+    assert results[6].num_faces == 1  # coasted once
+    assert results[9].num_faces == 0  # expired
+    assert results[12].num_faces == 0
+    # and the expired keyframe frame is untouched (no blur applied)
+    np.testing.assert_array_equal(results[9].frames[0], frames[9])

@@ -133,20 +133,21 @@ def cv2_linear_axis_tables(src: int, dst: int):
 
     Mirrors OpenCV's coefficient computation exactly: the source coordinate
     is computed in double then cast to float32 (``fxx = (float)((dx+0.5)*
-    scale - 0.5)``), border taps clamp with zero fractional weight, and the
-    short coefficients are round-half-even of the float32 coefficient*2048.
+    scale - 0.5)``), and the short coefficients are round-half-even of the
+    float32 coefficient*2048. Border handling matches resizeGeneric_: cv2
+    clamps the tap INDICES into range but keeps the unclamped fractional
+    weights — an upscale's first output row reads row 0 twice with split
+    weights (e.g. 448 + 1600), which under the SIMD formula's per-tap
+    truncation rounds differently than one 2048-weight tap. (Downscale
+    geometries never clamp: (0.5*scale - 0.5) >= 0 for scale >= 1.)
     """
     scale = np.float64(src) / np.float64(dst)
     d = np.arange(dst, dtype=np.float64)
     f = ((d + 0.5) * scale - 0.5).astype(np.float32)
     s = np.floor(f).astype(np.int64)
     u = (f - s).astype(np.float32)
-    u = np.where(s < 0, np.float32(0.0), u)
-    s = np.maximum(s, 0)
-    u = np.where(s >= src - 1, np.float32(0.0), u)
-    s = np.minimum(s, src - 1)
-    i0 = s.astype(np.int32)
-    i1 = np.minimum(s + 1, src - 1).astype(np.int32)
+    i0 = np.clip(s, 0, src - 1).astype(np.int32)
+    i1 = np.clip(s + 1, 0, src - 1).astype(np.int32)
     # saturate_cast<short>(cbuf * 2048): float32 multiply (exact: 2048 is a
     # power of two), then cvRound = round-half-even.
     a1 = np.rint(u * np.float32(_INTER_SCALE)).astype(np.int32)
@@ -198,9 +199,10 @@ def cv2_resize_formula(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
         rng.integers(0, 256, (*src_hw, 3), dtype=np.uint8) for _ in range(2)
     ] + [np.full((*src_hw, 3), 128, np.uint8)]
     verdict = None
-    # "simd" first: empirically it matches every downscale geometry on this
-    # cv2 build (letterbox only downscales); "scalar" matches a subset where
-    # the two roundings coincide. Upscales match neither -> None (fallback).
+    # "simd" first: empirically it matches every geometry on this cv2 build
+    # — downscale, upscale, and identity (the unclamped border weights in
+    # cv2_linear_axis_tables are what make upscales exact); "scalar" matches
+    # the subset where the two roundings coincide.
     for formula in ("simd", "scalar"):
         if all(
             np.array_equal(

@@ -322,12 +322,30 @@ class TieredPipeline:
             num_plates=int(plate_keep.sum()),
         )
 
-    # -- synchronous convenience ---------------------------------------------
-    def process_batch(self, frames: np.ndarray) -> TieredResult:
+    # -- async batch split ------------------------------------------------
+    def dispatch_batch(self, frames: np.ndarray):
+        """Async half of :meth:`process_batch`: letterbox on the host pool,
+        then enqueue transfer + device program without waiting for results.
+
+        Returns an opaque handle for :meth:`finalize_batch`. This is the
+        same dispatch/finalize contract the fused engine exposes — it lets
+        wrappers that manage their own in-flight window (TrackingEngine's
+        keyframe batches, multicam's dispatch thread) keep several tiered
+        batches in flight so device detection overlaps host mosaic work.
+        """
         b, h, w, _ = frames.shape
         shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
         lb = self.letterbox_batch(frames)
-        return self.finalize(frames, self.dispatch(lb, shapes))
+        return frames, self.dispatch(lb, shapes)
+
+    def finalize_batch(self, handle) -> TieredResult:
+        """Fetch one in-flight :meth:`dispatch_batch` (blocks) and mosaic."""
+        frames, fut = handle
+        return self.finalize(frames, fut)
+
+    # -- synchronous convenience ---------------------------------------------
+    def process_batch(self, frames: np.ndarray) -> TieredResult:
+        return self.finalize_batch(self.dispatch_batch(frames))
 
     # -- pipelined stream -------------------------------------------------
     def process_stream(

@@ -13,8 +13,9 @@ touch the device, so on link-bound hosts end-to-end throughput scales with
 
 Privacy semantics (the knobs exist to be tuned, the defaults to be safe):
 
-- Keyframes are byte-identical to the non-tracking pipeline — same device
-  program, same mosaic.
+- Keyframes run the same device program and mosaic as the non-tracking
+  pipeline; additionally, tracks the detector missed at the keyframe
+  (coasting, see below) are blurred on the host.
 - A box seen at both flanking keyframes is linearly interpolated; linear
   motion is covered exactly (test-proven) and the inflation envelope
   (``margin`` x box size + ``motion_slack`` x observed displacement, peaked
@@ -23,6 +24,13 @@ Privacy semantics (the knobs exist to be tuned, the defaults to be safe):
   or the detector blinked) is applied across the WHOLE gap, growing by
   ``appear_slack`` x box size toward the unseen side, so single-keyframe
   misses do not open holes.
+- A box missed at BOTH flanking keyframes is still covered: every box is
+  remembered as a track (``KeyframeTracker``), and an unmatched track
+  COASTS for up to ``coast`` keyframes — velocity-extrapolated, inflation
+  growing with extrapolation distance — blurring both the keyframes the
+  detector blinked on and their gaps. Residual risk: a box missed at more
+  than ``coast`` consecutive keyframes is unprotected until re-sighted
+  (quantified by benchmarks/tracking_coverage.py jitter_miss).
 - ``interval=1`` is the identity: every frame is a keyframe.
 
 Use via ``TrackingEngine`` wrapping a fused or tiered engine, or
@@ -159,6 +167,158 @@ def propagate_boxes(
     return out
 
 
+class KeyframeTracker:
+    """Per-class track memory across keyframes, with miss coasting.
+
+    ``propagate_boxes`` alone covers a gap from its two flanking keyframe
+    detections — a box the detector missed at BOTH flanking keyframes gets
+    zero coverage (the double-miss hole). This tracker remembers every box
+    across keyframes: a track unmatched at a keyframe COASTS for up to
+    ``coast`` further keyframes, extrapolated by its last observed
+    per-keyframe velocity, so a detector blink of up to ``coast``
+    consecutive keyframes still gets (inflated, decaying-confidence)
+    coverage. Residual risk: a box missed at more than ``coast``
+    consecutive keyframes is unprotected until re-sighted — at the default
+    coast=3 and a pessimistic 30% independent per-keyframe miss rate that
+    is a 0.8%-per-keyframe event (benchmarks/tracking_coverage.py
+    jitter_miss measures the realized coverage).
+
+    State: one tracker per (stream, detection class); feed keyframe
+    detections in time order via :meth:`observe`.
+    """
+
+    def __init__(
+        self, coast: int = 3, iou_thresh: float = 0.3, dist_thresh: float = 3.0
+    ):
+        self.coast = int(coast)
+        self.iou_thresh = iou_thresh  # kept for API symmetry; see dist_thresh
+        # Track<->detection matching uses normalized CENTER DISTANCE, not
+        # IoU: at large intervals the inter-keyframe displacement exceeds
+        # the box size (IoU 0 for an honest detection of the same object),
+        # and an IoU-gated tracker would duplicate every fast mover into a
+        # ghost coast track (measured 50x area overhead at interval 8).
+        # dist_thresh is in units of the box diagonal, scaled by the
+        # extrapolation gap (+1 per missed keyframe).
+        self.dist_thresh = dist_thresh
+        # each: {"box": (4,) at last sighting, "vel": (4,)/keyframe, "miss": int}
+        self.tracks: List[dict] = []
+
+    @staticmethod
+    def _dist_match(preds: np.ndarray, d: np.ndarray, limits: np.ndarray):
+        """Greedy nearest-center matching with per-track distance limits."""
+        pairs: List[Tuple[int, int]] = []
+        if len(preds) == 0 or len(d) == 0:
+            return pairs, list(range(len(preds))), list(range(len(d)))
+        ca = (preds[:, :2] + preds[:, 2:]) / 2.0
+        cb = (d[:, :2] + d[:, 2:]) / 2.0
+        dist = np.linalg.norm(ca[:, None, :] - cb[None, :, :], axis=-1)
+        score = dist / np.maximum(limits[:, None], 1e-9)
+        used_t: set = set()
+        used_d: set = set()
+        while score.size:
+            i, j = np.unravel_index(np.argmin(score), score.shape)
+            if score[i, j] > 1.0:
+                break
+            pairs.append((int(i), int(j)))
+            used_t.add(int(i))
+            used_d.add(int(j))
+            score[i, :] = np.inf
+            score[:, j] = np.inf
+        un_t = [i for i in range(len(preds)) if i not in used_t]
+        un_d = [j for j in range(len(d)) if j not in used_d]
+        return pairs, un_t, un_d
+
+    def observe(self, det: Sequence[Box]) -> List[dict]:
+        """Update with one keyframe's detections (time order!).
+
+        Returns the coasting snapshot for THIS keyframe: one dict per live
+        unmatched track — {"box": extrapolated position at this keyframe,
+        "vel": per-keyframe velocity, "miss": keyframes since last
+        sighting (>= 1)}. Matched and newly-seen boxes are absorbed into
+        track state and not returned (propagate_boxes covers them).
+        """
+        d = np.asarray(det, np.float64).reshape(-1, 4)
+        if self.tracks:
+            preds = np.stack(
+                [t["box"] + t["vel"] * (t["miss"] + 1) for t in self.tracks]
+            )
+            diag = np.hypot(
+                preds[:, 2] - preds[:, 0], preds[:, 3] - preds[:, 1]
+            )
+            gaps = np.array([t["miss"] + 1 for t in self.tracks], np.float64)
+            limits = self.dist_thresh * diag * gaps
+            pairs, un_t, un_d = self._dist_match(preds, d, limits)
+        else:
+            pairs, un_t, un_d = [], [], list(range(len(d)))
+        nxt: List[dict] = []
+        for ti, di in pairs:
+            t = self.tracks[ti]
+            steps = t["miss"] + 1
+            nxt.append(
+                {"box": d[di], "vel": (d[di] - t["box"]) / steps, "miss": 0}
+            )
+        coasted: List[dict] = []
+        for ti in un_t:
+            t = self.tracks[ti]
+            miss = t["miss"] + 1
+            if miss > self.coast:
+                continue
+            t2 = {"box": t["box"], "vel": t["vel"], "miss": miss}
+            nxt.append(t2)
+            coasted.append(
+                {"box": t["box"] + t["vel"] * miss, "vel": t["vel"], "miss": miss}
+            )
+        for di in un_d:
+            nxt.append({"box": d[di], "vel": np.zeros(4), "miss": 0})
+        self.tracks = nxt
+        return coasted
+
+
+def coast_boxes(
+    coasted: List[dict],
+    n_gap: int,
+    frame_hw: Tuple[int, int],
+    margin: float = 0.2,
+    motion_slack: float = 0.5,
+    appear_slack: float = 0.5,
+) -> Tuple[List[List[float]], List[List[List[float]]]]:
+    """Cover boxes for coasting tracks at a keyframe and across its gap.
+
+    coasted: :meth:`KeyframeTracker.observe`'s snapshot for the keyframe
+    that opens the gap. Returns ``(kf_boxes, per_gap_frame_boxes)``:
+    ``kf_boxes`` protect the keyframe itself (the detector missed there —
+    unlike matched detections these are NOT blurred by the base engine),
+    and ``per_gap_frame_boxes[j]`` adds to frame ``j``'s propagated set.
+    Each box extrapolates the track's velocity and inflates with total
+    extrapolation distance: ``margin + dist*appear_slack`` of box size
+    plus ``motion_slack*dist`` of per-step displacement, where ``dist``
+    = missed keyframes + fractional gap position.
+    """
+    h, w = frame_hw
+    kf_boxes: List[List[float]] = []
+    per_frame: List[List[List[float]]] = [[] for _ in range(max(0, n_gap - 1))]
+    for t in coasted:
+        vel = np.asarray(t["vel"], np.float64)
+        base = np.asarray(t["box"], np.float64)
+        vstep = max(abs(float(vel[0])), abs(float(vel[1])),
+                    abs(float(vel[2])), abs(float(vel[3])))
+        for j in range(-1, max(0, n_gap - 1)):
+            alpha = (j + 1) / n_gap
+            b = base + vel * alpha
+            dist = t["miss"] + alpha
+            gx = (margin + dist * appear_slack) * (b[2] - b[0])
+            gy = (margin + dist * appear_slack) * (b[3] - b[1])
+            pad = motion_slack * dist * vstep
+            bx = _inflate_clip(b, gx + pad, gy + pad, w, h)
+            if bx is None:
+                continue
+            if j < 0:
+                kf_boxes.append(bx)
+            else:
+                per_frame[j].append(bx)
+    return kf_boxes, per_frame
+
+
 class TrackingEngine:
     """Wrap a desensitization engine with detection-interval tracking.
 
@@ -186,6 +346,7 @@ class TrackingEngine:
         iou_match: float = 0.3,
         depth: int = 2,
         blur_workers: int = 4,
+        coast: int = 3,
     ):
         if interval < 1:
             raise ValueError(f"interval must be >= 1, got {interval}")
@@ -198,6 +359,7 @@ class TrackingEngine:
         self.iou_match = iou_match
         self.depth = max(0, int(depth))
         self.blur_workers = max(1, int(blur_workers))
+        self.coast = max(0, int(coast))
         self.log = get_logger("tracking")
 
     def __getattr__(self, name):
@@ -290,6 +452,12 @@ class TrackingEngine:
         pool = ThreadPoolExecutor(
             max_workers=self.blur_workers, thread_name_prefix="vdt-track"
         )
+        # Per-stream, per-class track memory: detections observed in
+        # keyframe time order (assign order == segment order), so a track
+        # missed at up to ``coast`` consecutive keyframes still covers its
+        # keyframes and gaps (the double-miss hole, KeyframeTracker).
+        face_tracks = KeyframeTracker(self.coast, self.iou_match)
+        plate_tracks = KeyframeTracker(self.coast, self.iou_match)
 
         def assign(res, n):
             # Results of one detect batch belong to the first n detection-
@@ -301,6 +469,10 @@ class TrackingEngine:
                     res.frames[i],
                     res.face_boxes[i],
                     res.plate_boxes[i],
+                )
+                seg["coast"] = (
+                    face_tracks.observe(res.face_boxes[i]),
+                    plate_tracks.observe(res.plate_boxes[i]),
                 )
 
         def drain_ready():
@@ -349,28 +521,42 @@ class TrackingEngine:
         self, seg: dict, next_det: Optional[tuple], pool: ThreadPoolExecutor
     ) -> Iterator[EngineResult]:
         kf_frame, faces0, plates0 = seg["det"]
-        yield EngineResult(
-            frames=np.asarray(kf_frame)[None],
-            face_boxes=[faces0],
-            plate_boxes=[plates0],
-            num_faces=len(faces0),
-            num_plates=len(plates0),
-        )
+        kf_frame = np.asarray(kf_frame)
         gap = seg["gap"]
-        if not gap:
-            return
         n_gap = len(gap) + 1
-        hw = self._frame_hw(gap[0])
-        kw = dict(
+        hw = self._frame_hw(kf_frame)
+        ckw = dict(
             margin=self.margin,
             motion_slack=self.motion_slack,
             appear_slack=self.appear_slack,
-            iou_thresh=self.iou_match,
         )
+        # Coasting tracks: the detector missed them at THIS keyframe, so the
+        # base engine did not blur them — cover the keyframe itself here,
+        # and add their extrapolated boxes to every gap frame.
+        coast_f, coast_p = seg["coast"]
+        kf_f, coast_ft = coast_boxes(coast_f, n_gap, hw, **ckw)
+        kf_p, coast_pt = coast_boxes(coast_p, n_gap, hw, **ckw)
+        if kf_f or kf_p:
+            if not kf_frame.flags.writeable:
+                kf_frame = kf_frame.copy()
+            self._blur_host(kf_frame, kf_f + kf_p)
+        yield EngineResult(
+            frames=kf_frame[None],
+            face_boxes=[list(faces0) + kf_f],
+            plate_boxes=[list(plates0) + kf_p],
+            num_faces=len(faces0) + len(kf_f),
+            num_plates=len(plates0) + len(kf_p),
+        )
+        if not gap:
+            return
+        kw = dict(iou_thresh=self.iou_match, **ckw)
         d1f = next_det[1] if next_det is not None else None
         d1p = next_det[2] if next_det is not None else None
         faces_t = propagate_boxes(faces0, d1f, n_gap, hw, **kw)
         plates_t = propagate_boxes(plates0, d1p, n_gap, hw, **kw)
+        for j in range(n_gap - 1):
+            faces_t[j].extend(coast_ft[j])
+            plates_t[j].extend(coast_pt[j])
         futs = [
             pool.submit(self._blur_host, frame, faces_t[j] + plates_t[j])
             for j, frame in enumerate(gap)
