@@ -98,6 +98,22 @@ def main() -> None:
         "job's tail on few-core hosts; 'medium' = reference parity)",
     )
     ap.add_argument(
+        "--detect-interval",
+        type=int,
+        default=1,
+        help="[TPU] detect_interval: detect every Nth frame per camera; "
+        "gap frames are covered by per-camera propagated boxes "
+        "(pipeline/multicam.py CameraTracker) — the record job's "
+        "throughput knob on link-bound hosts",
+    )
+    ap.add_argument(
+        "--encode-threads",
+        type=int,
+        default=0,
+        help="[SETTINGS] encode_threads: x265 pools/frame-threads for the "
+        "processed-video writers (0 = x265 auto)",
+    )
+    ap.add_argument(
         "--co-batch",
         action=argparse.BooleanOptionalAction,
         default=True,
@@ -167,9 +183,11 @@ def main() -> None:
                 f"record_output_dir={os.path.join(root, 'out')}\n"
                 f"[SETTINGS]\nbatch_size={args.batch}\n"
                 f"encode_preset={args.preset}\n"
+                f"encode_threads={args.encode_threads}\n"
                 f"[TPU]\nengine={args.engine}\ninput_size={input_size}\n"
                 f"max_detections=16\ndtype={dtype}\noutput_fps=30\n"
                 f"transfer={args.transfer}\n"
+                f"detect_interval={args.detect_interval}\n"
                 f"co_batch={'true' if args.co_batch else 'false'}\n"
             )
         cfg = load_config(ini)
@@ -200,6 +218,8 @@ def main() -> None:
                     "unpack_s": round(unpack_s, 2),
                     "engine": type(engine).__name__,
                     "transfer": args.transfer,
+                    "detect_interval": args.detect_interval,
+                    "encode_threads": args.encode_threads,
                     "co_batch": args.co_batch,
                     "videos_processed": stats.videos_processed,
                     "faces": stats.faces,

@@ -241,3 +241,62 @@ def test_cobatched_yuv420_transport(tmp_path):
             decoded = sum(1 for _ in dec)
             assert (dec.width, dec.height) == shapes[cam][::-1]
         assert decoded == n
+
+
+@needs_native
+def test_cobatched_detect_interval_per_camera_tracking(tmp_path):
+    """detect_interval > 1 in the multicam record path: only every Nth
+    frame of EACH camera hits the device (co-batched keyframes), every
+    frame reaches the output in order, and gap frames carry the camera's
+    propagated box (stats count them)."""
+    from video_desensitization_tpu.ops.mosaic import mosaic_host_inplace
+    from video_desensitization_tpu.pipeline.engine import EngineResult
+
+    class CountingEngine:
+        mosaic_level = 8
+        anonymizer = "mosaic"
+
+        def __init__(self):
+            self.frames_detected = 0
+
+        def process_batch(self, frames):
+            self.frames_detected += frames.shape[0]
+            out = np.array(frames)
+            fb = [[[2.0, 2.0, 30.0, 30.0]]] * len(out)
+            for i in range(len(out)):
+                mosaic_host_inplace(out[i], fb[i], self.mosaic_level)
+            return EngineResult(
+                frames=out, face_boxes=fb, plate_boxes=[[] for _ in out],
+                num_faces=len(out), num_plates=0,
+            )
+
+    engine = CountingEngine()
+    rng = np.random.default_rng(0)
+    jobs = {}
+    counts = {"front": 11, "rear": 7}
+    shapes = {"front": (96, 160), "rear": (64, 128)}
+    for cam, n in counts.items():
+        src = str(tmp_path / f"{cam}.mp4")
+        h, w = shapes[cam]
+        with VideoEncoder(src, w, h, fps=10, codec="mpeg4") as e:
+            for i in range(n):
+                e.write(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        jobs[cam] = (src, str(tmp_path / f"{cam}_out.mp4"))
+
+    stats = process_videos_cobatched(
+        jobs, engine, batch_size=4, detect_interval=2
+    )
+
+    # keyframes: front 6 (of 11), rear 4 (of 7) = 10; partial batches are
+    # padded to batch_size, so the device saw at most 12 frames — far
+    # fewer than the 18 per-frame detection would send.
+    assert 10 <= engine.frames_detected <= 12
+    for cam, n in counts.items():
+        assert stats[cam].error is None
+        assert stats[cam].frames == n
+        # every frame (keyframe AND gap) carries the static box
+        assert stats[cam].faces == n
+        with VideoDecoder(jobs[cam][1]) as dec:
+            decoded = sum(1 for _ in dec)
+            assert (dec.width, dec.height) == shapes[cam][::-1]
+        assert decoded == n

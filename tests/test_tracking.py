@@ -444,3 +444,49 @@ def test_coast_expires_no_stale_boxes():
     assert results[12].num_faces == 0
     # and the expired keyframe frame is untouched (no blur applied)
     np.testing.assert_array_equal(results[9].frames[0], frames[9])
+
+
+def test_camera_tracker_matches_tracking_engine():
+    """The push-style CameraTracker (multicam's per-camera state) emits
+    exactly what TrackingEngine emits for the same ordered stream."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from video_desensitization_tpu.pipeline.tracking import CameraTracker
+
+    n, interval = 13, 3
+    frames = _make_frames(n)
+    eng = TrackingEngine(FakeBase(), interval=interval, detect_batch=1, depth=0)
+    res_pull = _collect(eng, frames)
+
+    base = FakeBase()
+    pool = ThreadPoolExecutor(max_workers=2)
+    ct = CameraTracker(interval, pool)
+    res_push = []
+    for f in frames:
+        f = np.array(f)
+        if ct.push_frame(f):
+            r = base.process_batch(f[None])
+            res_push.extend(
+                ct.push_detection(r.frames[0], r.face_boxes[0], r.plate_boxes[0])
+            )
+    res_push.extend(ct.flush())
+    pool.shutdown()
+
+    assert len(res_push) == len(res_pull) == n
+    for a, b in zip(res_pull, res_push):
+        np.testing.assert_array_equal(a.frames, b.frames)
+        assert a.face_boxes == b.face_boxes
+        assert a.num_faces == b.num_faces
+
+
+def test_camera_tracker_flush_guards_pending_detections():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from video_desensitization_tpu.pipeline.tracking import CameraTracker
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    ct = CameraTracker(2, pool)
+    assert ct.push_frame(np.zeros((8, 8, 3), np.uint8))
+    with pytest.raises(RuntimeError, match="outstanding"):
+        ct.flush()
+    pool.shutdown()

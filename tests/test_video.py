@@ -241,3 +241,49 @@ def test_read_i420_rejects_non_yuv420p_and_retains_frame(tmp_path):
             dec.read_i420()
         got = list(dec)
     assert len(got) == 4  # probe retained the first frame
+
+
+@needs_native
+def test_x265_params_reach_encoder(tmp_path):
+    """The x265_params knob ([SETTINGS] encode_threads) demonstrably
+    reaches libx265: 'lossless=1' flips rate control to lossless, so the
+    I420 roundtrip is BIT-EXACT — impossible if the string were dropped
+    (the default lossy encode at this bitrate differs on >10% of pixels).
+    Also covers the pools/frame-threads form the config builds."""
+    rng = np.random.default_rng(5)
+    yuv = [
+        rng.integers(0, 255, (96, 128), np.uint8) for _ in range(4)
+    ]  # (64*3/2, 128) planar I420
+
+    def roundtrip(path, **kw):
+        with VideoEncoder(path, 128, 64, fps=10, codec="libx265",
+                          preset="ultrafast", **kw) as e:
+            for f in yuv:
+                e.write_i420(f)
+        out = []
+        with VideoDecoder(path) as d:
+            while True:
+                f = d.read_i420()
+                if f is None:
+                    break
+                out.append(f.copy())
+        return out
+
+    exact = roundtrip(
+        str(tmp_path / "ll.mp4"),
+        x265_params="lossless=1:pools=1:frame-threads=1",
+    )
+    lossy = roundtrip(str(tmp_path / "ab.mp4"), bitrate=100_000)
+    assert len(exact) == len(lossy) == 4
+    for a, b, src in zip(exact, lossy, yuv):
+        np.testing.assert_array_equal(a, src)
+        assert (b != src).mean() > 0.05
+
+
+def test_encode_threads_builds_x265_params():
+    from video_desensitization_tpu.api.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    assert "x265_params" not in cfg.encode_kwargs  # 0 = x265 auto
+    cfg.encode_threads = 4
+    assert cfg.encode_kwargs["x265_params"] == "pools=4:frame-threads=4"

@@ -79,17 +79,36 @@ class PipelineConfig:
     # throughput matters more than bitrate efficiency.
     encode_preset: str = "medium"
     encode_bitrate: int = 10_000_000
+    # libx265 worker threads for the processed-video writers: 0 = x265
+    # auto (pools = all cores). On many-core hosts the record job's tail
+    # is the HEVC re-encode; pinning pools/frame-threads explicitly
+    # (rather than only the speed/quality preset) bounds or widens that
+    # stage. Builds "pools=N:frame-threads=N" via x265-params.
+    encode_threads: int = 0
     # Detect every Nth frame of an ordered stream and cover the frames in
-    # between with IoU-matched, interpolated, margin-inflated keyframe boxes
+    # between with matched, interpolated, margin-inflated keyframe boxes
     # pixelated on the host (pipeline/tracking.py). 1 = reference behavior
-    # (detect every frame). Only the single-stream ordered path tracks;
-    # images-directory and multicam co-batch jobs keep per-frame detection.
+    # (detect every frame). Ordered streams track: the single-video path
+    # (TrackingEngine) and the multicam record job (per-camera
+    # CameraTracker state; keyframes co-batch across cameras). The
+    # images-directory path keeps per-frame detection (unordered).
     detect_interval: int = 1
+    # Keyframes a track missed by the detector keeps covering (velocity-
+    # extrapolated, growing inflation) before expiring. Closes the
+    # double-miss hole; residual risk = a box missed at more than
+    # track_coast consecutive keyframes (benchmarks/tracking_coverage.py).
+    track_coast: int = 3
 
     @property
     def encode_kwargs(self) -> dict:
         """Encoder overrides for the libx265 processed-video writers."""
-        return {"preset": self.encode_preset, "bitrate": self.encode_bitrate}
+        kw = {"preset": self.encode_preset, "bitrate": self.encode_bitrate}
+        if self.encode_threads > 0:
+            kw["x265_params"] = (
+                f"pools={self.encode_threads}:"
+                f"frame-threads={self.encode_threads}"
+            )
+        return kw
 
 
 def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig:
@@ -118,6 +137,7 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
         cfg.batch_size = s.getint("batch_size", 16)
         cfg.encode_preset = s.get("encode_preset", cfg.encode_preset)
         cfg.encode_bitrate = s.getint("encode_bitrate", cfg.encode_bitrate)
+        cfg.encode_threads = s.getint("encode_threads", cfg.encode_threads)
 
     if "TPU" in parser:
         t = parser["TPU"]
@@ -136,6 +156,7 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
         cfg.co_batch = t.getboolean("co_batch", cfg.co_batch)
         cfg.anonymizer = t.get("anonymizer", cfg.anonymizer)
         cfg.detect_interval = t.getint("detect_interval", cfg.detect_interval)
+        cfg.track_coast = t.getint("track_coast", cfg.track_coast)
     if cfg.engine not in ("tiered", "fused", "auto"):
         raise ValueError(
             f"[TPU] engine must be 'tiered', 'fused', or 'auto', got {cfg.engine!r}"
@@ -149,5 +170,9 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
     if cfg.detect_interval < 1:
         raise ValueError(
             f"[TPU] detect_interval must be >= 1, got {cfg.detect_interval}"
+        )
+    if cfg.track_coast < 0:
+        raise ValueError(
+            f"[TPU] track_coast must be >= 0, got {cfg.track_coast}"
         )
     return cfg

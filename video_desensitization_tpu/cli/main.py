@@ -180,7 +180,9 @@ def build_engine(cfg, with_plates: bool = True, allow_random: bool = False):
             "detect_interval=%d: keyframe detection + host-propagated "
             "coverage on ordered streams (pipeline/tracking.py)", interval,
         )
-        engine = TrackingEngine(engine, interval=interval)
+        engine = TrackingEngine(
+            engine, interval=interval, coast=getattr(cfg, "track_coast", 3)
+        )
     return engine
 
 

@@ -71,6 +71,9 @@ def process_videos_cobatched(
     inflight: int = DEFAULT_STREAM_DEPTH,
     encode_kwargs: Optional[dict] = None,
     transport: str = "rgb",
+    detect_interval: int = 1,
+    track_coast: int = 3,
+    blur_workers: int = 4,
 ) -> Dict[str, CameraStats]:
     """Desensitize many videos through one shared device batch stream.
 
@@ -85,6 +88,14 @@ def process_videos_cobatched(
     bytes — see pipeline/streaming.py). Frames carry their mode in their
     shape (I420 frames are 2-D), so a camera that cannot decode I420 (odd
     dims) falls back to RGB individually while the rest stay planar.
+
+    detect_interval > 1 enables PER-CAMERA detection-interval tracking
+    (``[TPU] detect_interval``, pipeline/tracking.py): each camera stream
+    is ordered, so only every Nth frame of each camera is co-batched for
+    detection; the gap frames are covered by that camera's propagated
+    (and ``track_coast``-coasted) keyframe boxes, blurred on the host by
+    ``blur_workers`` threads. The device sees 1/N of the frames — the
+    record job's throughput knob on link-bound hosts.
     """
     log = get_logger("multicam")
     use_yuv = transport in ("yuv420", "auto") and hasattr(
@@ -97,6 +108,25 @@ def process_videos_cobatched(
     stats = {cam: CameraStats() for cam in jobs}
     abort = threading.Event()  # device-program / fatal errors only
     meta: Dict[str, dict] = {}
+
+    trackers: Optional[Dict[str, "CameraTracker"]] = None
+    blur_pool: Optional[ThreadPoolExecutor] = None
+    if detect_interval > 1:
+        from video_desensitization_tpu.pipeline.tracking import CameraTracker
+
+        blur_pool = ThreadPoolExecutor(
+            max_workers=max(1, blur_workers), thread_name_prefix="vdt-mctrack"
+        )
+        trackers = {
+            cam: CameraTracker(
+                detect_interval,
+                blur_pool,
+                level=getattr(engine, "mosaic_level", 8),
+                anonymizer=getattr(engine, "anonymizer", "mosaic"),
+                coast=track_coast,
+            )
+            for cam in jobs
+        }
 
     # Per-camera decode/encode failures are ISOLATED: the camera is marked
     # failed (stats[cam].error) and its stream dropped, while every other
@@ -261,17 +291,29 @@ def process_videos_cobatched(
         done_items, fut = got
         route(done_items, fut.result())
 
+    def emit(cam, frame, n_faces, n_plates) -> bool:
+        if not _abortable_put(enc_qs[cam], frame, abort):
+            return False
+        stats[cam].frames += 1
+        stats[cam].faces += n_faces
+        stats[cam].plates += n_plates
+        return True
+
     def route(done_items, res):
         for (cam, _), blurred, fb, pb in zip(
             done_items, res.frames, res.face_boxes, res.plate_boxes
         ):
             if stats[cam].error:  # dead camera: its encoder is draining
                 continue
-            if not _abortable_put(enc_qs[cam], blurred, abort):
+            if trackers is not None:
+                # The camera's oldest outstanding keyframe result: emit
+                # whatever segments became ready (keyframe + covered gaps).
+                for r in trackers[cam].push_detection(blurred, fb, pb):
+                    if not emit(cam, r.frames[0], r.num_faces, r.num_plates):
+                        return
+                continue
+            if not emit(cam, blurred, len(fb), len(pb)):
                 return
-            stats[cam].frames += 1
-            stats[cam].faces += len(fb)
-            stats[cam].plates += len(pb)
 
     groups: Dict[Tuple[int, ...], List[Tuple[str, np.ndarray]]] = {}
     live = set(jobs)
@@ -290,6 +332,8 @@ def process_videos_cobatched(
                 continue
             if stats[cam].error:
                 continue  # dead camera: drop queued frames, keep others going
+            if trackers is not None and not trackers[cam].push_frame(item):
+                continue  # gap frame: buffered; covered at emission time
             # FULL shape as the group key: I420 frames (H*3/2, W) and RGB
             # frames (H, W, 3) must never share a batch even when their
             # leading dims collide (e.g. 144x160 I420 vs 144x160x3 RGB).
@@ -301,6 +345,15 @@ def process_videos_cobatched(
                 drain_one()
         while in_flight and not abort.is_set():
             drain_one()
+        # Stream tails: every detection has been routed; emit each camera's
+        # final segment (last-sighting coverage across the remaining gap).
+        if trackers is not None and not abort.is_set():
+            for cam, tr in trackers.items():
+                if stats[cam].error:
+                    continue
+                for r in tr.flush():
+                    if not emit(cam, r.frames[0], r.num_faces, r.num_plates):
+                        break
     except Exception:
         # Device-program failure poisons everything in flight.
         abort.set()
@@ -309,6 +362,8 @@ def process_videos_cobatched(
         dispatch_q.put(_DONE)
         dispatch_thread.join()
         finalizer.shutdown(wait=True)
+        if blur_pool is not None:
+            blur_pool.shutdown(wait=True)
         for q_ in enc_qs.values():
             _abortable_put(q_, _DONE, abort) or q_.put(_DONE)
         for t in enc_threads:

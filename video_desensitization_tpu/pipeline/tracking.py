@@ -36,9 +36,11 @@ Privacy semantics (the knobs exist to be tuned, the defaults to be safe):
 Use via ``TrackingEngine`` wrapping a fused or tiered engine, or
 ``[TPU] detect_interval = N`` in config.ini. The wrapper only tracks on the
 ordered single-stream path (``process_stream``); unordered calls
-(``process_batch`` — the images directory and multicam co-batch paths)
-delegate to the base engine's full per-frame detection, where frame order
-is interleaved across cameras and propagation would be wrong.
+(``process_batch`` — the images directory path) delegate to the base
+engine's full per-frame detection. The multicam record job tracks too:
+each camera stream is ordered, so pipeline/multicam.py keeps one
+``CameraTracker`` per camera (push-style) and co-batches only keyframes
+across cameras.
 """
 
 from __future__ import annotations
@@ -319,6 +321,116 @@ def coast_boxes(
     return kf_boxes, per_frame
 
 
+def blur_host_inplace(
+    frame: np.ndarray,
+    boxes: List[List[float]],
+    level: int = 8,
+    anonymizer: str = "mosaic",
+) -> None:
+    """Pixelate propagated boxes on one raw frame, in place.
+
+    frame: (H, W, 3) RGB or (H*3/2, W) planar I420 (a contiguous view
+    into the decode batch — the tracking layer owns the buffer)."""
+    if not boxes:
+        return
+    if frame.ndim == 3:
+        if anonymizer == "gaussian":
+            gaussian_blur_host_inplace(frame, boxes)
+        else:
+            mosaic_host_inplace(frame, boxes, level)
+        return
+    # Planar I420.
+    if anonymizer == "gaussian":
+        h15, w = frame.shape
+        h = (h15 * 2) // 3
+        gaussian_blur_host_inplace(frame[:h], boxes)
+        cb = [
+            [x1 / 2, y1 / 2, (x2 + 1) / 2, (y2 + 1) / 2]
+            for x1, y1, x2, y2 in boxes
+        ]
+        u = frame[h : h + h // 4].reshape(h // 2, w // 2)
+        v = frame[h + h // 4 :].reshape(h // 2, w // 2)
+        gaussian_blur_host_inplace(u, cb, sigma=3.0, kernel_radius=6)
+        gaussian_blur_host_inplace(v, cb, sigma=3.0, kernel_radius=6)
+    else:
+        mosaic_i420_host_inplace(frame, boxes, level)
+
+
+def _frame_hw(frame: np.ndarray) -> Tuple[int, int]:
+    if frame.ndim == 3:
+        return frame.shape[0], frame.shape[1]
+    return (frame.shape[0] * 2) // 3, frame.shape[1]
+
+
+def emit_segment(
+    seg: dict,
+    next_det: Optional[tuple],
+    pool: ThreadPoolExecutor,
+    level: int = 8,
+    anonymizer: str = "mosaic",
+    margin: float = 0.2,
+    motion_slack: float = 0.5,
+    appear_slack: float = 0.5,
+    iou_match: float = 0.3,
+) -> Iterator[EngineResult]:
+    """Emit one keyframe segment: the (engine-blurred) keyframe plus its
+    host-covered gap frames, one EngineResult per frame in time order.
+
+    seg: {"det": (blurred_kf_frame, face_boxes, plate_boxes),
+    "coast": (coasted_faces, coasted_plates) from KeyframeTracker.observe,
+    "gap": [raw frames...]}. next_det is the NEXT keyframe's detection
+    tuple (None at the stream tail). Shared by TrackingEngine (pull-style
+    single stream) and CameraTracker (push-style, multicam)."""
+    kf_frame, faces0, plates0 = seg["det"]
+    kf_frame = np.asarray(kf_frame)
+    gap = seg["gap"]
+    n_gap = len(gap) + 1
+    hw = _frame_hw(kf_frame)
+    ckw = dict(margin=margin, motion_slack=motion_slack, appear_slack=appear_slack)
+    # Coasting tracks: the detector missed them at THIS keyframe, so the
+    # base engine did not blur them — cover the keyframe itself here, and
+    # add their extrapolated boxes to every gap frame.
+    coast_f, coast_p = seg["coast"]
+    kf_f, coast_ft = coast_boxes(coast_f, n_gap, hw, **ckw)
+    kf_p, coast_pt = coast_boxes(coast_p, n_gap, hw, **ckw)
+    if kf_f or kf_p:
+        if not kf_frame.flags.writeable:
+            kf_frame = kf_frame.copy()
+        blur_host_inplace(kf_frame, kf_f + kf_p, level, anonymizer)
+    yield EngineResult(
+        frames=kf_frame[None],
+        face_boxes=[list(faces0) + kf_f],
+        plate_boxes=[list(plates0) + kf_p],
+        num_faces=len(faces0) + len(kf_f),
+        num_plates=len(plates0) + len(kf_p),
+    )
+    if not gap:
+        return
+    kw = dict(iou_thresh=iou_match, **ckw)
+    d1f = next_det[1] if next_det is not None else None
+    d1p = next_det[2] if next_det is not None else None
+    faces_t = propagate_boxes(faces0, d1f, n_gap, hw, **kw)
+    plates_t = propagate_boxes(plates0, d1p, n_gap, hw, **kw)
+    for j in range(n_gap - 1):
+        faces_t[j].extend(coast_ft[j])
+        plates_t[j].extend(coast_pt[j])
+    futs = [
+        pool.submit(
+            blur_host_inplace, frame, faces_t[j] + plates_t[j], level, anonymizer
+        )
+        for j, frame in enumerate(gap)
+    ]
+    for j, (frame, fut) in enumerate(zip(gap, futs)):
+        fut.result()
+        yield EngineResult(
+            frames=frame[None],
+            face_boxes=[faces_t[j]],
+            plate_boxes=[plates_t[j]],
+            num_faces=len(faces_t[j]),
+            num_plates=len(plates_t[j]),
+        )
+
+
 class TrackingEngine:
     """Wrap a desensitization engine with detection-interval tracking.
 
@@ -372,41 +484,22 @@ class TrackingEngine:
 
     # ---------------------------------------------------------------- blur
     def _blur_host(self, frame: np.ndarray, boxes: List[List[float]]):
-        """Pixelate propagated boxes on one raw frame, in place.
+        blur_host_inplace(
+            frame,
+            boxes,
+            level=getattr(self.base, "mosaic_level", 8),
+            anonymizer=getattr(self.base, "anonymizer", "mosaic"),
+        )
 
-        frame: (H, W, 3) RGB or (H*3/2, W) planar I420 (a contiguous view
-        into the decode batch — we own the buffer)."""
-        if not boxes:
-            return
-        level = getattr(self.base, "mosaic_level", 8)
-        anonymizer = getattr(self.base, "anonymizer", "mosaic")
-        if frame.ndim == 3:
-            if anonymizer == "gaussian":
-                gaussian_blur_host_inplace(frame, boxes)
-            else:
-                mosaic_host_inplace(frame, boxes, level)
-            return
-        # Planar I420.
-        if anonymizer == "gaussian":
-            h15, w = frame.shape
-            h = (h15 * 2) // 3
-            gaussian_blur_host_inplace(frame[:h], boxes)
-            cb = [
-                [x1 / 2, y1 / 2, (x2 + 1) / 2, (y2 + 1) / 2]
-                for x1, y1, x2, y2 in boxes
-            ]
-            u = frame[h : h + h // 4].reshape(h // 2, w // 2)
-            v = frame[h + h // 4 :].reshape(h // 2, w // 2)
-            gaussian_blur_host_inplace(u, cb, sigma=3.0, kernel_radius=6)
-            gaussian_blur_host_inplace(v, cb, sigma=3.0, kernel_radius=6)
-        else:
-            mosaic_i420_host_inplace(frame, boxes, level)
-
-    @staticmethod
-    def _frame_hw(frame: np.ndarray) -> Tuple[int, int]:
-        if frame.ndim == 3:
-            return frame.shape[0], frame.shape[1]
-        return (frame.shape[0] * 2) // 3, frame.shape[1]
+    def _emit_kwargs(self) -> dict:
+        return dict(
+            level=getattr(self.base, "mosaic_level", 8),
+            anonymizer=getattr(self.base, "anonymizer", "mosaic"),
+            margin=self.margin,
+            motion_slack=self.motion_slack,
+            appear_slack=self.appear_slack,
+            iou_match=self.iou_match,
+        )
 
     # ------------------------------------------------------------- detect
     def _dispatch(self, kf_frames: List[np.ndarray]):
@@ -520,56 +613,7 @@ class TrackingEngine:
     def _emit(
         self, seg: dict, next_det: Optional[tuple], pool: ThreadPoolExecutor
     ) -> Iterator[EngineResult]:
-        kf_frame, faces0, plates0 = seg["det"]
-        kf_frame = np.asarray(kf_frame)
-        gap = seg["gap"]
-        n_gap = len(gap) + 1
-        hw = self._frame_hw(kf_frame)
-        ckw = dict(
-            margin=self.margin,
-            motion_slack=self.motion_slack,
-            appear_slack=self.appear_slack,
-        )
-        # Coasting tracks: the detector missed them at THIS keyframe, so the
-        # base engine did not blur them — cover the keyframe itself here,
-        # and add their extrapolated boxes to every gap frame.
-        coast_f, coast_p = seg["coast"]
-        kf_f, coast_ft = coast_boxes(coast_f, n_gap, hw, **ckw)
-        kf_p, coast_pt = coast_boxes(coast_p, n_gap, hw, **ckw)
-        if kf_f or kf_p:
-            if not kf_frame.flags.writeable:
-                kf_frame = kf_frame.copy()
-            self._blur_host(kf_frame, kf_f + kf_p)
-        yield EngineResult(
-            frames=kf_frame[None],
-            face_boxes=[list(faces0) + kf_f],
-            plate_boxes=[list(plates0) + kf_p],
-            num_faces=len(faces0) + len(kf_f),
-            num_plates=len(plates0) + len(kf_p),
-        )
-        if not gap:
-            return
-        kw = dict(iou_thresh=self.iou_match, **ckw)
-        d1f = next_det[1] if next_det is not None else None
-        d1p = next_det[2] if next_det is not None else None
-        faces_t = propagate_boxes(faces0, d1f, n_gap, hw, **kw)
-        plates_t = propagate_boxes(plates0, d1p, n_gap, hw, **kw)
-        for j in range(n_gap - 1):
-            faces_t[j].extend(coast_ft[j])
-            plates_t[j].extend(coast_pt[j])
-        futs = [
-            pool.submit(self._blur_host, frame, faces_t[j] + plates_t[j])
-            for j, frame in enumerate(gap)
-        ]
-        for j, (frame, fut) in enumerate(zip(gap, futs)):
-            fut.result()
-            yield EngineResult(
-                frames=frame[None],
-                face_boxes=[faces_t[j]],
-                plate_boxes=[plates_t[j]],
-                num_faces=len(faces_t[j]),
-                num_plates=len(plates_t[j]),
-            )
+        yield from emit_segment(seg, next_det, pool, **self._emit_kwargs())
 
     def _passthrough(self, batches) -> Iterator[EngineResult]:
         if hasattr(self.base, "process_stream"):
@@ -580,3 +624,100 @@ class TrackingEngine:
                 yield self.base.process_batch_yuv(batch)
             else:
                 yield self.base.process_batch(batch)
+
+class CameraTracker:
+    """Push-style detection-interval tracking for ONE ordered stream.
+
+    ``TrackingEngine`` drives a single stream pull-style; the multicam
+    record job (pipeline/multicam.py) instead co-batches KEYFRAMES from
+    many cameras into shared device batches — each camera owns one of
+    these and keeps its own segments and coast memory, so the record
+    job's per-camera streams track independently while sharing one device
+    pipeline. Contract (all calls from one routing thread, per camera in
+    stream order):
+
+    - ``push_frame(frame)`` -> bool: True means the frame is a keyframe —
+      the caller must run detection on it and later feed the result via
+      ``push_detection``; False means it was buffered as a gap frame.
+    - ``push_detection(blurred_kf, faces, plates)``: the camera's OLDEST
+      outstanding keyframe's result (multicam's FIFO dispatch guarantees
+      arrival order). Returns the EngineResults that became ready, in
+      frame order.
+    - ``flush()``: after the stream ended AND every outstanding detection
+      was pushed — emits the tail segment (coverage extends the last
+      sighting across remaining gap frames).
+    """
+
+    def __init__(
+        self,
+        interval: int,
+        pool: ThreadPoolExecutor,
+        level: int = 8,
+        anonymizer: str = "mosaic",
+        margin: float = 0.2,
+        motion_slack: float = 0.5,
+        appear_slack: float = 0.5,
+        iou_match: float = 0.3,
+        coast: int = 3,
+    ):
+        if interval < 1:
+            raise ValueError(f"interval must be >= 1, got {interval}")
+        self.interval = int(interval)
+        self.pool = pool
+        self._ekw = dict(
+            level=level,
+            anonymizer=anonymizer,
+            margin=margin,
+            motion_slack=motion_slack,
+            appear_slack=appear_slack,
+            iou_match=iou_match,
+        )
+        self.face_tracks = KeyframeTracker(coast, iou_match)
+        self.plate_tracks = KeyframeTracker(coast, iou_match)
+        self.segments: "deque[dict]" = deque()
+        self.idx = 0
+
+    def push_frame(self, frame: np.ndarray) -> bool:
+        if self.idx % self.interval == 0:
+            self.segments.append({"gap": [], "det": None, "coast": None})
+            kf = True
+        else:
+            self.segments[-1]["gap"].append(frame)
+            kf = False
+        self.idx += 1
+        return kf
+
+    def _drain_ready(self) -> List[EngineResult]:
+        out: List[EngineResult] = []
+        while (
+            len(self.segments) >= 2
+            and self.segments[0]["det"] is not None
+            and self.segments[1]["det"] is not None
+        ):
+            seg = self.segments.popleft()
+            out.extend(
+                emit_segment(seg, self.segments[0]["det"], self.pool, **self._ekw)
+            )
+        return out
+
+    def push_detection(
+        self, blurred_kf: np.ndarray, faces: list, plates: list
+    ) -> List[EngineResult]:
+        seg = next(s for s in self.segments if s["det"] is None)
+        seg["det"] = (blurred_kf, faces, plates)
+        seg["coast"] = (
+            self.face_tracks.observe(faces),
+            self.plate_tracks.observe(plates),
+        )
+        return self._drain_ready()
+
+    def flush(self) -> List[EngineResult]:
+        out = self._drain_ready()
+        if self.segments:
+            seg = self.segments.popleft()
+            if seg["det"] is None or self.segments:
+                raise RuntimeError(
+                    "flush() with outstanding keyframe detections pending"
+                )
+            out.extend(emit_segment(seg, None, self.pool, **self._ekw))
+        return out

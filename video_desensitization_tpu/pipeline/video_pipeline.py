@@ -193,6 +193,8 @@ def process_record_job(
             jobs, engine, batch_size=config.batch_size, fps=config.output_fps,
             encode_kwargs=getattr(config, "encode_kwargs", None),
             transport=getattr(config, "transfer", "rgb"),
+            detect_interval=getattr(config, "detect_interval", 1),
+            track_coast=getattr(config, "track_coast", 3),
         )
         for name, cs in cam_stats.items():
             if cs.error:

@@ -78,6 +78,7 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p,
         ctypes.c_int64,
         ctypes.c_char_p,
+        ctypes.c_char_p,
     ]
     lib.vdt_encoder_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.vdt_encoder_write_i420.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
@@ -304,7 +305,13 @@ class VideoEncoder:
         codec: str = "libx265",
         bitrate: int = 10_000_000,
         preset: str = "medium",
+        x265_params: str = "",
     ):
+        """x265_params: raw colon-separated x265 option string forwarded to
+        libx265 (native path only; ignored for other codecs). The encode
+        threading knob on many-core hosts — e.g. "pools=8:frame-threads=4"
+        — where the default preset-driven auto threading is the record
+        job's tail bottleneck ([SETTINGS] encode_threads builds this)."""
         self.path = path
         self.width, self.height = width, height
         self._lib = _load()
@@ -319,6 +326,7 @@ class VideoEncoder:
                 codec.encode(),
                 int(bitrate),
                 preset.encode(),
+                x265_params.encode(),
             )
             if not self._h:
                 raise IOError(

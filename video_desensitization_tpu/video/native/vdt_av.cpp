@@ -301,7 +301,8 @@ static int encoder_drain(VdtEncoder *e) {
 
 extern "C" VdtEncoder *vdt_encoder_open(const char *path, int w, int h,
                                         double fps, const char *codec_name,
-                                        int64_t bitrate, const char *preset) {
+                                        int64_t bitrate, const char *preset,
+                                        const char *x265_params) {
     auto *e = new VdtEncoder();
     e->width = w;
     e->height = h;
@@ -337,6 +338,12 @@ extern "C" VdtEncoder *vdt_encoder_open(const char *path, int w, int h,
     if (bitrate > 0) e->codec->bit_rate = bitrate;
     if (preset && *preset)
         av_opt_set(e->codec->priv_data, "preset", preset, 0);
+    // Raw x265 option string (colon-separated key=value, e.g.
+    // "pools=4:frame-threads=2" to pin worker threads, "lossless=1").
+    // x265 defaults to pools=all-cores; this knob lets many-core hosts
+    // bound or widen the encode parallelism explicitly.
+    if (x265_params && *x265_params && strcmp(codec_name, "libx265") == 0)
+        av_opt_set(e->codec->priv_data, "x265-params", x265_params, 0);
     if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
         e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     if ((err = avcodec_open2(e->codec, enc, nullptr)) < 0) {
