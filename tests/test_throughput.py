@@ -266,3 +266,42 @@ def test_tracking_engine_pipelines_tiered_keyframes(face):
             exp, results[idx].face_boxes[0] + results[idx].plate_boxes[0], 8
         )
         np.testing.assert_array_equal(results[idx].frames[0], exp)
+
+
+def test_engine_shared_letterbox_equals_unshared(face, plate):
+    """The fused engine's shared-uint8-canvas letterbox (one resize feeding
+    both detectors) must reproduce the per-detector letterbox path: blurred
+    frames bitwise, detections to float tolerance (the plate inverse
+    transform computes its gain in f32 on device vs a static python float
+    — sub-ulp)."""
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (3, 96, 160, 3), dtype=np.uint8)
+    shared = DesensitizationEngine(face, plate, mosaic_level=8)
+    assert shared.share_letterbox
+    unshared = DesensitizationEngine(
+        face, plate, mosaic_level=8, share_letterbox=False
+    )
+    a = shared.process_batch(frames.copy())
+    b = unshared.process_batch(frames.copy())
+    np.testing.assert_array_equal(a.frames, b.frames)
+    assert a.num_faces == b.num_faces and a.num_plates == b.num_plates
+    for ba, bb in zip(a.face_boxes + a.plate_boxes, b.face_boxes + b.plate_boxes):
+        np.testing.assert_allclose(ba, bb, rtol=1e-5, atol=1e-3)
+
+
+def test_engine_shared_letterbox_yuv(face, plate):
+    """Same equivalence through the planar-I420 program."""
+    from video_desensitization_tpu.pipeline.engine import DesensitizationEngine
+
+    rng = np.random.default_rng(8)
+    yuv = rng.integers(0, 256, (2, 144, 160), dtype=np.uint8)  # 96x160 I420
+    shared = DesensitizationEngine(face, plate, mosaic_level=8)
+    unshared = DesensitizationEngine(
+        face, plate, mosaic_level=8, share_letterbox=False
+    )
+    a = shared.process_batch_yuv(yuv.copy())
+    b = unshared.process_batch_yuv(yuv.copy())
+    np.testing.assert_array_equal(a.frames, b.frames)
+    assert a.num_faces == b.num_faces and a.num_plates == b.num_plates

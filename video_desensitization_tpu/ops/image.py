@@ -270,7 +270,10 @@ def resize_linear_cv2_exact(
     if h_sel and v_sel:
         # Both passes are *2048 with zero cross-terms; the final rounding
         # cancels exactly in both formula variants -> pure point sample.
-        return _select_axis(_select_axis(frames, 2, x0), 1, y0)
+        # Row (H) selection first: it keeps the minor W*C dimension
+        # contiguous, so XLA lowers it as a cheap slice of full rows and the
+        # W-axis selection then runs on the already-shrunk intermediate.
+        return _select_axis(_select_axis(frames, 1, y0), 2, x0)
 
     if h_sel:
         # Horizontal pass selects (rows == v << 11); vertical formula applied
@@ -337,6 +340,41 @@ def letterbox_device_exact(
         ((0, 0), (top, h - nh - top), (left, w - nw - left), (0, 0)),
         constant_values=pad_value,
     )
+
+
+def letterbox_canvas_u8(
+    frames: Array,
+    dst_hw: Tuple[int, int],
+    pad_value: int = int(PAD_VALUE),
+    formula: str = "scalar",
+) -> Array:
+    """Bit-exact device letterbox kept in uint8 (no dtype promotion).
+
+    The fused engine program (pipeline/engine.py) letterboxes ONCE into this
+    shared uint8 canvas and hands it to both detectors, which then apply only
+    their elementwise input transforms (face: mean-sub; plate: 114-repad +
+    /255). Versus per-detector letterboxing this halves the resize work and
+    keeps the padded intermediate at 1/4 the bytes of the float32 canvas.
+    Bitwise-identical content to ``letterbox_device_exact`` (same integer
+    resize; the pad value is just stored as uint8).
+    """
+    b, ih, iw, c = frames.shape
+    h, w = dst_hw
+    nh, nw, top, left = letterbox_params((ih, iw), (h, w))
+    resized = resize_linear_cv2_exact(frames, (nh, nw), formula)
+    return jnp.pad(
+        resized,
+        ((0, 0), (top, h - nh - top), (left, w - nw - left), (0, 0)),
+        constant_values=np.uint8(pad_value),
+    )
+
+
+def letterbox_canvas_formula(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
+    """The cv2 rounding formula for the letterbox CONTENT resize of this
+    geometry, or None when this cv2 build's rounding is not recognized
+    (callers fall back to per-detector float letterboxing)."""
+    nh, nw, _, _ = letterbox_params(src_hw, dst_hw)
+    return cv2_resize_formula(src_hw, (nh, nw))
 
 
 def letterbox_device_auto(

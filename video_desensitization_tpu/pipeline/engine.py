@@ -52,6 +52,7 @@ class DesensitizationEngine:
         mesh=None,
         mosaic_backend: str = "auto",
         anonymizer: str = "mosaic",
+        share_letterbox: bool = True,
     ):
         """mosaic_backend: "pallas" (ops.pallas_mosaic strip kernel —
         box-area-proportional, bitwise-identical to the XLA path, 7-17x
@@ -59,7 +60,15 @@ class DesensitizationEngine:
         off-TPU), or "auto" (pallas on TPU, xla elsewhere).
 
         anonymizer: "mosaic" (reference pixelation) or "gaussian"
-        (ops.mosaic.gaussian_blur_boxes — separable depthwise blur)."""
+        (ops.mosaic.gaussian_blur_boxes — separable depthwise blur).
+
+        share_letterbox: letterbox the batch ONCE into a shared uint8
+        canvas consumed by both detectors (face sees it unchanged — its
+        pad-128 convention; the plate program re-fills the pad region to
+        YOLO's 114 gray elementwise), instead of each detector resizing
+        the full-resolution batch independently. Bitwise-identical
+        outputs; requires the cv2-exact resize formula for the geometry
+        (auto-falls back to per-detector letterboxing otherwise)."""
         self.face = face_detector
         self.plate = plate_detector
         self.mosaic_level = mosaic_level
@@ -68,6 +77,7 @@ class DesensitizationEngine:
             mosaic_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.mosaic_backend = mosaic_backend
         self.anonymizer = anonymizer
+        self.share_letterbox = share_letterbox
         self._program = self._finalize_program(self._build_program())
         self._yuv_program = None  # built on first process_batch_yuv
 
@@ -86,6 +96,7 @@ class DesensitizationEngine:
         face = self.face
         plate = self.plate
         level = self.mosaic_level
+        share = self.share_letterbox
         if self.anonymizer == "gaussian":
             from video_desensitization_tpu.ops.mosaic import gaussian_blur_boxes
 
@@ -158,14 +169,44 @@ class DesensitizationEngine:
                 b, h, w3 = frames_flat.shape
                 w = w3 // 3
                 frames_u8 = frames_flat.reshape(b, h, w, 3)
+            canvas = None
+            if share and (plate is None or plate.input_hw == face.input_hw):
+                from video_desensitization_tpu.ops.image import (
+                    letterbox_canvas_formula,
+                    letterbox_canvas_u8,
+                    letterbox_params,
+                )
+
+                formula = letterbox_canvas_formula((h, w), face.input_hw)
+                if formula is not None:
+                    canvas = letterbox_canvas_u8(
+                        frames_u8, face.input_hw, formula=formula
+                    )
+                    lb_geom = jnp.broadcast_to(
+                        jnp.asarray(
+                            letterbox_params((h, w), face.input_hw),
+                            jnp.float32,
+                        ),
+                        (frames_u8.shape[0], 4),
+                    )
+            # On the shared canvas, face's letterbox short-circuits to
+            # identity (640x640 -> 640x640) so its program applies only the
+            # mean-sub; letterbox_correction still maps boxes back to the
+            # original pixels via image_shapes.
+            face_in = canvas if canvas is not None else frames_u8
             face_dets, face_px, face_keep = face._detect_program(
-                face_vars, frames_u8, image_shapes
+                face_vars, face_in, image_shapes
             )
             fboxes = face_px[..., :4].astype(jnp.int32)
             if plate is not None:
-                plate_px, plate_keep = plate._detect_program(
-                    plate_vars, frames_u8, image_shapes
-                )
+                if canvas is not None:
+                    plate_px, plate_keep = plate._detect_letterboxed_program(
+                        plate_vars, canvas, image_shapes, lb_geom
+                    )
+                else:
+                    plate_px, plate_keep = plate._detect_program(
+                        plate_vars, frames_u8, image_shapes
+                    )
                 pboxes = plate_px[..., :4].astype(jnp.int32)
                 boxes = jnp.concatenate([fboxes, pboxes], axis=1)
                 valid = jnp.concatenate([face_keep, plate_keep], axis=1)
