@@ -331,12 +331,27 @@ def main() -> None:
             else:
                 # engine programs take channel-interleaved (B, H, W*3) rows
                 fr = jnp.asarray(stack.reshape(bsz, stack.shape[1], -1))
-            prog = eng.program(yuv=yuv)
             sh = jnp.asarray(np.tile(frame_shape_row, (bsz, 1)))
-            out = prog(fvars, pvars, fr, sh)
-            np.asarray(out[2][:1])  # compile + warm; sync via a small output
-            t0 = time.perf_counter()
-            outs = [prog(fvars, pvars, fr, sh) for _ in range(iters)]
+            prog = eng.program(yuv=yuv, donate=True)
+            donating = prog is not eng.program(yuv=yuv)
+            if donating:
+                # Production dispatch_batch donates the frames buffer (each
+                # batch is a fresh transfer), killing XLA's defensive
+                # pre-mosaic full-frame copy. Measure that shape: each
+                # pipelined iteration consumes its own device-side copy,
+                # staged before the clock starts (in production the copy IS
+                # the h2d transfer, outside the chip-rate being measured).
+                feeds = [jnp.array(fr, copy=True) for _ in range(iters)]
+                out = prog(fvars, pvars, fr, sh)  # warm; consumes fr
+                np.asarray(out[2][:1])
+                np.asarray(feeds[-1][:1, :1])  # copies materialized
+                t0 = time.perf_counter()
+                outs = [prog(fvars, pvars, f, sh) for f in feeds]
+            else:
+                out = prog(fvars, pvars, fr, sh)
+                np.asarray(out[2][:1])  # compile + warm; sync small output
+                t0 = time.perf_counter()
+                outs = [prog(fvars, pvars, fr, sh) for _ in range(iters)]
             for o in outs:  # one sync after all dispatches are queued
                 np.asarray(o[2][:1])
             return iters * bsz / (time.perf_counter() - t0)

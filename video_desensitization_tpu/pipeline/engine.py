@@ -78,10 +78,26 @@ class DesensitizationEngine:
         self.mosaic_backend = mosaic_backend
         self.anonymizer = anonymizer
         self.share_letterbox = share_letterbox
-        self._program = self._finalize_program(self._build_program())
+        self._program, self._program_donated = self._finalize_program(
+            self._build_program()
+        )
         self._yuv_program = None  # built on first process_batch_yuv
+        self._yuv_program_donated = None
 
     def _finalize_program(self, program):
+        """Returns (plain_jit, donated_jit_or_None).
+
+        The Pallas mosaic writes the blurred frames IN PLACE (input/output
+        aliased), so a non-donated entry parameter forces XLA to insert a
+        defensive full-frame copy (796 MB read+write at batch 128,
+        benchmarks/profiles/r4 copy.702) before the kernel may clobber it.
+        Production dispatch always feeds a freshly transferred buffer, so
+        dispatch_batch uses the donated variant (hardware A/B: fused nobox
+        686 -> 715 fps); ``program(donate=False)`` remains for callers that
+        re-feed one resident buffer (profilers, ablations). Both jits are
+        lazy — only the variant actually called is ever compiled. Donation
+        is TPU-only: other backends ignore it with a warning per compile.
+        """
         if self.mesh is not None:
             # Collective-free data parallelism: each chip blurs its shard of
             # frames locally (see parallel.mesh.data_parallel_program).
@@ -90,7 +106,13 @@ class DesensitizationEngine:
             program = data_parallel_program(
                 self.mesh, program, n_params=2, n_batch_args=2, n_out=5
             )
-        return jax.jit(program)
+            return jax.jit(program), None
+        donated = (
+            jax.jit(program, donate_argnums=(2,))
+            if jax.default_backend() == "tpu"
+            else None
+        )
+        return jax.jit(program), donated
 
     def _build_program(self, yuv: bool = False):
         face = self.face
@@ -226,7 +248,7 @@ class DesensitizationEngine:
 
         return program
 
-    def program(self, yuv: bool = False):
+    def program(self, yuv: bool = False, donate: bool = False):
         """The jitted device program (the yuv variant builds lazily).
 
         For drivers that feed pre-transferred device-resident arrays and
@@ -235,14 +257,21 @@ class DesensitizationEngine:
         process_batch_yuv or the dispatch_batch/finalize_batch split.
         Signature: program(face_vars, plate_vars, frames, image_shapes) ->
         (blurred, face_px, face_keep, plate_px, plate_keep).
+
+        donate=True returns the frames-donating variant (see
+        _finalize_program) when one exists for this backend/mesh — the
+        caller's frames buffer is CONSUMED by the call and must not be
+        reused. Falls back to the plain program otherwise.
         """
         if yuv:
             if self._yuv_program is None:
-                self._yuv_program = self._finalize_program(
-                    self._build_program(yuv=True)
+                self._yuv_program, self._yuv_program_donated = (
+                    self._finalize_program(self._build_program(yuv=True))
                 )
-            return self._yuv_program
-        return self._program
+            plain, donated = self._yuv_program, self._yuv_program_donated
+        else:
+            plain, donated = self._program, self._program_donated
+        return donated if (donate and donated is not None) else plain
 
     def dispatch_batch(
         self, frames: np.ndarray, image_shapes: Optional[np.ndarray] = None
@@ -257,17 +286,21 @@ class DesensitizationEngine:
         the shape bench.py's pipelined fused_device_fps measures.
         """
         yuv = frames.ndim == 3
+        # The frames device buffer is freshly created from the host array
+        # below and never reused, so dispatch always prefers the donating
+        # program — it skips the defensive pre-mosaic full-frame copy
+        # (686 -> 715 fps nobox on hardware; see _finalize_program).
         if yuv:
             b, h15, w = frames.shape
             h = (h15 * 2) // 3
             frames_in = np.ascontiguousarray(frames)
-            program = self.program(yuv=True)
+            program = self.program(yuv=True, donate=True)
         else:
             b, h, w, _ = frames.shape
             # Host-side reshape to the program's channel-interleaved flat
             # form is a free numpy view (C-contiguous input).
             frames_in = np.ascontiguousarray(frames).reshape(b, h, w * 3)
-            program = self._program
+            program = self.program(donate=True)
         if image_shapes is None:
             image_shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
         orig_b = b
