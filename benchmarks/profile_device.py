@@ -73,11 +73,42 @@ def build_engine(batch: int, yuv: bool = False):
     return engine, face, plate, fr, sh
 
 
-def capture(out_dir: str, batch: int, iters: int, yuv: bool = False) -> float:
+def capture(
+    out_dir: str, batch: int, iters: int, yuv: bool = False,
+    donate: bool = False,
+) -> float:
     import jax
+    import jax.numpy as jnp
 
     engine, face, plate, fr, sh = build_engine(batch, yuv)
-    prog = engine.program(yuv=yuv)
+    prog = engine.program(yuv=yuv, donate=donate)
+    donating = donate and prog is not engine.program(yuv=yuv)
+    if donating:
+        # Production dispatch_batch donates the frames buffer (each batch
+        # arrives as a fresh transfer), so the traced program has NO
+        # defensive pre-mosaic copy. Stage one device-side copy per
+        # iteration outside the timed/traced regions; outputs alias the
+        # donated inputs, so HBM stays within the 4-iteration budget.
+        def staged(n):
+            feeds = [jnp.array(fr, copy=True) for _ in range(n)]
+            np.asarray(feeds[-1][:1, :1])  # materialize copies
+            return feeds
+
+        run1 = lambda f: prog(face.variables, plate.variables, f, sh)
+        np.asarray(run1(staged(1)[0])[2][:1])  # compile + warm
+        feeds = staged(iters)
+        t0 = time.perf_counter()
+        outs = [run1(f) for f in feeds]
+        for o in outs:
+            np.asarray(o[2][:1])
+        fps = iters * batch / (time.perf_counter() - t0)
+        feeds = staged(iters)
+        with jax.profiler.trace(out_dir):
+            outs = [run1(f) for f in feeds]
+            for o in outs:
+                np.asarray(o[2][:1])
+        return fps
+
     run = lambda: prog(face.variables, plate.variables, fr, sh)
     np.asarray(run()[2][:1])  # compile + warm
     # timed (unprofiled) pipelined reference rate
@@ -131,12 +162,20 @@ def main():
         action="store_true",
         help="profile the planar-YUV IO variant of the fused program",
     )
+    ap.add_argument(
+        "--donate",
+        action="store_true",
+        help="profile the frames-donating program (production dispatch "
+        "shape); one staged device-side input copy per iteration",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     fps = None
     if not args.analyze_only:
-        fps = capture(args.out, args.batch, args.iters, yuv=args.yuv)
+        fps = capture(
+            args.out, args.batch, args.iters, yuv=args.yuv, donate=args.donate
+        )
         print(f"pipelined device rate during capture session: {fps:.1f} fps")
 
     cols, rows = analyze(args.out, args.top)
