@@ -11,7 +11,8 @@ host mosaic, with double-buffered batches so transfer overlaps compute.
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
      "best_fps": N, "windows": [...], "tracked_fps_i4": N,
-     "tracked_fps_i4_typical": N, "device_fps": N, "device_batch": N,
+     "tracked_fps_i4_typical": N, "e2e_fps_typical": N,
+     "device_fps": N, "device_batch": N,
      "device_fps_sync_b<B>": N, "flops_per_frame": N, "mfu": N,
      "fused_fps": N, "fused_device_fps": N, "fused_device_fps_b<B>": N,
      "fused_device_fps_nobox": N, "fused_device_fps_typical": N,
@@ -24,8 +25,18 @@ tracked_fps_i4 is the same e2e stream under detection-interval tracking
 ([TPU] detect_interval = 4, pipeline/tracking.py): full detection on every
 4th frame, gap frames covered by interpolated keyframe boxes mosaicked on
 the host without touching the device. The headline `value` keeps the
-reference per-frame-detection protocol; tracked_fps_i4 is the measured win
-of the production knob on this host.
+reference per-frame-detection protocol. The tracked protocol matches the
+headline's (same window count, no in-clock copies) and streams interval x
+as many frames per window so the keyframe pipeline reaches steady state
+(the round-4 protocol starved it to ~2.5 dispatches/window). Whether the
+knob WINS on a given host depends on box geometry and host cores:
+tracked_fps_i4 is the worst-case bound (random-init ~24 quarter-frame
+boxes host-blurred per gap frame — pure host-mosaic saturation on a
+1-core host), tracked_fps_i4_typical the production-realistic one (a
+deterministic synthetic detector: 3 face-sized + 1 plate-sized drifting
+boxes, full device detection still timed). Compare it against
+e2e_fps_typical — per-frame detection at the SAME synthetic load — for
+the apples-to-apples crossover; README quotes the measured pair.
 
 value is the MEDIAN of N e2e windows — the honest steady-state headline
 (stage_breakdown attributes window spread entirely to h2d link weather);
@@ -51,9 +62,12 @@ mid-load point with STRUCTURAL top-k caps (max_detections = 3 faces +
 survive NMS per frame regardless of the random-init score distribution
 (box sizes remain random-init-large, so this still overstates real
 footage's cost; the kernel's typical-load cost is ~44 us/frame,
-benchmarks/mosaic_bench.py). tracked_fps_i4_typical is the tracked e2e
-stream at the same caps — the production-realistic gap-frame host blur
-cost, vs tracked_fps_i4's worst-case ~24 giant boxes per gap frame.
+benchmarks/mosaic_bench.py). tracked_fps_i4_typical and e2e_fps_typical
+instead fix both count AND size: a deterministic synthetic detector
+(_RealisticBoxPipeline) replaces the unpacked device boxes with 3
+face-sized + 1 plate-sized drifting boxes while the full device program
+still runs and is timed — host blur and tracker cost at production
+geometry, chip cost unchanged.
 
 vs_baseline divides by the reference-structure CPU-path measurement cached in
 benchmarks/cpu_baseline.json (re-derive with benchmarks/cpu_baseline.py).
@@ -89,6 +103,52 @@ def main() -> None:
     from video_desensitization_tpu.detect.face import Retinaface
     from video_desensitization_tpu.detect.plate import PlateDetector
     from video_desensitization_tpu.pipeline.throughput import TieredPipeline
+
+    class _RealisticBoxPipeline(TieredPipeline):
+        """Full device-detection cost, deterministic production-size boxes.
+
+        Overrides ``_unpack`` to discard the (random-init) device
+        detections and emit a synthetic detector's output instead: 3
+        face-sized (90x110 px at 1080p — the near-field face of
+        benchmarks/tracking_coverage.py) + 1 plate-sized (140x45) boxes
+        drifting a few px per frame (wrap-around = an exit + a fresh
+        entry, so the tracker sees realistic appear/disappear events).
+        The device program is untouched — dispatch, compute and readback
+        all stay in the timed path — so host mosaic / tracker cost is
+        measured at realistic geometry without faking any chip work.
+        """
+
+        def __init__(self, frame_hw, *args, **kwargs):
+            super().__init__(*args, **kwargs)
+            self._hw = frame_hw
+            self._t = 0  # frames unpacked so far: deterministic motion clock
+
+        def _unpack(self, flat):
+            fpx0, fkeep0, ppx0, pkeep0 = super()._unpack(flat)
+            b = flat.shape[0]
+            h, w = self._hw
+            s = h / 1080.0
+            fw, fh = 90.0 * s, 110.0 * s
+            pw, ph = 140.0 * s, 45.0 * s
+            fpx = np.zeros((b, fpx0.shape[1], 15), np.float32)
+            fkeep = np.zeros(fkeep0.shape, bool)
+            ppx = np.zeros((b, ppx0.shape[1], 6), np.float32)
+            pkeep = np.zeros(pkeep0.shape, bool)
+            t = self._t + np.arange(b, dtype=np.float64)
+            self._t += b
+            for k in range(min(3, fpx.shape[1])):
+                x = (s * (120.0 + 500.0 * k + 6.5 * t)) % (w - fw)
+                y = (s * (80.0 + 260.0 * k + 2.2 * t)) % (h - fh)
+                fpx[:, k, 0], fpx[:, k, 1] = x, y
+                fpx[:, k, 2], fpx[:, k, 3] = x + fw, y + fh
+                fkeep[:, k] = True
+            if ppx.shape[1] >= 1:
+                x = (s * (300.0 + 4.0 * t)) % (w - pw)
+                y = (s * (700.0 + 1.1 * t)) % (h - ph)
+                ppx[:, 0, 0], ppx[:, 0, 1] = x, y
+                ppx[:, 0, 2], ppx[:, 0, 3] = x + pw, y + ph
+                pkeep[:, 0] = True
+            return fpx, fkeep, ppx, pkeep
 
     batch = int(os.environ.get("BENCH_BATCH", "2" if smoke else "32"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "2" if smoke else "10"))
@@ -176,25 +236,41 @@ def main() -> None:
     # tracking (pipeline/tracking.py) at interval=4 — detect every 4th
     # frame on the chip, cover the gap frames with IoU-matched interpolated
     # keyframe boxes mosaicked on the host. Gap frames never cross the
-    # link, so on link-bound hosts e2e scales toward interval x. Reported
-    # ALONGSIDE the headline (the headline stays full per-frame detection,
-    # the reference protocol); this is the production knob's measured win.
+    # link, so on link-bound hosts e2e scales toward interval x of the
+    # LINK rate; whether that shows up end-to-end depends on how much
+    # host-blur work the boxes cost (see the _Realistic variants below).
+    # Protocol parity with the headline (round-4 verdict items):
+    #  - same window count, median reported;
+    #  - no per-batch frames.copy() inside the clock. The headline loop
+    #    reuses one frames array too; tracked gap frames are blurred in
+    #    place, but re-blurring the same region next window costs exactly
+    #    the same (mosaic cost is content-independent), and with
+    #    batch % interval == 0 every stream position keeps its
+    #    keyframe/gap role, so keyframe content never mutates and the
+    #    detections feeding the tracker stay constant;
+    #  - interval x as many frames per window, so each window holds
+    #    n_batches full keyframe dispatches — the same device-dispatch
+    #    count as a headline window — instead of the ~2.5 the round-4
+    #    protocol starved the in-flight pipeline down to (flush-tail-
+    #    dominated; steady state needs >= (depth+2)*interval*detect_batch
+    #    frames).
     tracked_fps = None
     tracked_fps_typical = None
+    e2e_fps_typical = None
+    interval = int(os.environ.get("BENCH_TRACK_INTERVAL", "4"))
     if os.environ.get("BENCH_TRACKED", "1") == "1":
         from video_desensitization_tpu.pipeline.tracking import TrackingEngine
 
         def _tracked_median(base_pipe) -> float:
-            # Fresh copies per batch: gap frames are blurred IN PLACE (the
-            # engine owns decode buffers in production), and the per-frame-
-            # detection windows above get fresh-content batches too.
             t_windows = []
-            for _ in range(max(1, windows // 2)):
-                teng = TrackingEngine(base_pipe, interval=4, detect_batch=batch)
+            for _ in range(windows):
+                teng = TrackingEngine(
+                    base_pipe, interval=interval, detect_batch=batch
+                )
                 t0 = time.perf_counter()
                 n_frames = 0
                 for res in teng.process_stream(
-                    frames.copy() for _ in range(n_batches)
+                    frames for _ in range(n_batches * interval)
                 ):
                     n_frames += res.frames.shape[0]
                 t_windows.append(n_frames / (time.perf_counter() - t0))
@@ -202,16 +278,36 @@ def main() -> None:
 
         tracked_fps = _tracked_median(pipe)
         # The number above host-blurs gap frames at the random-init
-        # WORST-CASE load (~24 giant boxes/frame); tracked_fps_i4_typical
-        # measures the production-realistic gap cost with the structural
-        # ~3-faces + 1-plate top-k caps (same caps as the fused typical).
+        # WORST-CASE load (~24 quarter-frame boxes per gap frame — on a
+        # 1-core host that is pure mosaic saturation, not the knob's
+        # production cost). The _typical pair measures production GEOMETRY:
+        # _RealisticBoxPipeline runs the identical device program (same
+        # detectors, full chip cost in the clock) but replaces the unpacked
+        # detections with a deterministic synthetic detector's 3 face-sized
+        # + 1 plate-sized drifting boxes — the round-4 top-k caps fixed box
+        # COUNT but left random-init quarter-frame SIZES. e2e_fps_typical
+        # is per-frame detection at the SAME load: the apples-to-apples
+        # baseline tracked_fps_i4_typical must beat for the knob to pay.
         if os.environ.get("BENCH_TRACKED_TYPICAL", "1") == "1":
-            face_tt, plate_tt = make_detectors(0.5, 0.5, face_k=3, plate_k=1)
-            pipe_tt = TieredPipeline(
-                face_tt, plate_tt, mosaic_level=8, transfer=pipe.transfer
+            pipe_rt = _RealisticBoxPipeline(
+                frame_hw,
+                face,
+                plate,
+                mosaic_level=8,
+                transfer=pipe.transfer,
             )
-            pipe_tt.process_batch(frames)  # compile + warm
-            tracked_fps_typical = _tracked_median(pipe_tt)
+            pipe_rt.process_batch(frames)  # warm (program cache-shared)
+            tracked_fps_typical = _tracked_median(pipe_rt)
+            t_windows = []
+            for _ in range(windows):
+                t0 = time.perf_counter()
+                n_frames = 0
+                for res in pipe_rt.process_stream(
+                    (frames for _ in range(n_batches)), depth=depth
+                ):
+                    n_frames += res.frames.shape[0]
+                t_windows.append(n_frames / (time.perf_counter() - t0))
+            e2e_fps_typical = float(np.median(t_windows))
 
     # ---- device-program fps: the fused two-detector program alone, with
     # device-resident letterboxed input and boxes-only readback. This is the
@@ -341,6 +437,10 @@ def main() -> None:
                 # pipelined iteration consumes its own device-side copy,
                 # staged before the clock starts (in production the copy IS
                 # the h2d transfer, outside the chip-rate being measured).
+                # HBM note: the staged feeds pin iters x batch full frames
+                # (~796 MB per iteration at batch 128 / 1080p) — raising
+                # BENCH_FUSED_DEVICE_ITERS well past the default 4 can OOM
+                # at dev_batch sizes the non-donating path handled.
                 feeds = [jnp.array(fr, copy=True) for _ in range(iters)]
                 out = prog(fvars, pvars, fr, sh)  # warm; consumes fr
                 np.asarray(out[2][:1])
@@ -445,6 +545,9 @@ def main() -> None:
                 "tracked_fps_i4": round(tracked_fps, 2) if tracked_fps else None,
                 "tracked_fps_i4_typical": (
                     round(tracked_fps_typical, 2) if tracked_fps_typical else None
+                ),
+                "e2e_fps_typical": (
+                    round(e2e_fps_typical, 2) if e2e_fps_typical else None
                 ),
                 "device_fps": round(device_fps, 2),
                 "device_batch": dev_batch,
