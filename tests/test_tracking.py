@@ -310,9 +310,74 @@ def test_config_plumbing(tmp_path):
     ini.write_text("[PATHS]\n[TPU]\ndetect_interval = 5\n")
     cfg = load_config(str(ini), strict=False)
     assert cfg.detect_interval == 5
+    assert cfg.track_detect_batch == 0  # default: auto (= batch_size)
     ini.write_text("[PATHS]\n[TPU]\ndetect_interval = 0\n")
     with pytest.raises(ValueError, match="detect_interval"):
         load_config(str(ini), strict=False)
+    ini.write_text("[PATHS]\n[TPU]\ntrack_detect_batch = 12\n")
+    assert load_config(str(ini), strict=False).track_detect_batch == 12
+    ini.write_text("[PATHS]\n[TPU]\ntrack_detect_batch = -1\n")
+    with pytest.raises(ValueError, match="track_detect_batch"):
+        load_config(str(ini), strict=False)
+
+
+def test_config_large_interval_warns(tmp_path):
+    """detect_interval > 4 is outside the verified-complete coverage range
+    (benchmarks/tracking_coverage.py: curved motion min ~0.20 at interval
+    8) — config validation must say so out loud, not silently accept.
+
+    Captures via a handler on the project logger directly: once
+    setup_logger has run (any earlier test), the hierarchy stops
+    propagating to root, so pytest's caplog would miss the record."""
+    import logging
+
+    from video_desensitization_tpu.api.config import load_config
+    from video_desensitization_tpu.utils.logging import get_logger
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    lg = get_logger("config")
+    lg.addHandler(handler)
+    try:
+        ini = tmp_path / "c.ini"
+        ini.write_text("[PATHS]\n[TPU]\ndetect_interval = 8\n")
+        cfg = load_config(str(ini), strict=False)
+        assert cfg.detect_interval == 8
+        assert any("detect_interval=8" in r.getMessage() for r in records)
+        records.clear()
+        ini.write_text("[PATHS]\n[TPU]\ndetect_interval = 4\n")
+        load_config(str(ini), strict=False)
+        assert not any("detect_interval" in r.getMessage() for r in records)
+    finally:
+        lg.removeHandler(handler)
+
+
+def test_build_engine_track_detect_batch(tmp_path):
+    """build_engine: detect_batch = track_detect_batch, else batch_size
+    (auto — the tracker then drives the same compiled program as the
+    non-tracked path instead of triggering a second XLA compile)."""
+    from video_desensitization_tpu.api.config import load_config
+    from video_desensitization_tpu.cli.main import build_engine
+
+    def cfg_with(tpu_extra):
+        ini = tmp_path / "b.ini"
+        ini.write_text(
+            "[PATHS]\nmodel_path=random\nmodel_weights=random\n"
+            "[SETTINGS]\nbatch_size=6\n"
+            "[TPU]\ninput_size=128\nmax_detections=4\ndtype=float32\n"
+            f"detect_interval = 3\n{tpu_extra}"
+        )
+        return load_config(str(ini), strict=False)
+
+    eng = build_engine(cfg_with(""), with_plates=False, allow_random=True)
+    assert eng.interval == 3 and eng.detect_batch == 6
+    eng = build_engine(
+        cfg_with("track_detect_batch = 2\n"),
+        with_plates=False,
+        allow_random=True,
+    )
+    assert eng.detect_batch == 2
 
 
 # --------------------------------------------------------------------------

@@ -98,6 +98,16 @@ class PipelineConfig:
     # double-miss hole; residual risk = a box missed at more than
     # track_coast consecutive keyframes (benchmarks/tracking_coverage.py).
     track_coast: int = 3
+    # Keyframes batched per tracked detection dispatch. 0 = auto: reuse
+    # [SETTINGS] batch_size, so the tracker drives the SAME compiled
+    # program as the non-tracked path (a different batch would trigger a
+    # second XLA compile). The tradeoff this knob tunes: the tracker
+    # buffers up to (depth+1) * track_detect_batch * detect_interval raw
+    # frames while detections are in flight — at 1080p RGB, interval 4 and
+    # batch 32 that is ~2.4 GB and ~4.3 s of first-result latency at 30
+    # fps ingest; batch 8 cuts both 4x at some pipelining efficiency
+    # (pipeline/tracking.py TrackingEngine docstring has the numbers).
+    track_detect_batch: int = 0
 
     @property
     def encode_kwargs(self) -> dict:
@@ -157,6 +167,9 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
         cfg.anonymizer = t.get("anonymizer", cfg.anonymizer)
         cfg.detect_interval = t.getint("detect_interval", cfg.detect_interval)
         cfg.track_coast = t.getint("track_coast", cfg.track_coast)
+        cfg.track_detect_batch = t.getint(
+            "track_detect_batch", cfg.track_detect_batch
+        )
     if cfg.engine not in ("tiered", "fused", "auto"):
         raise ValueError(
             f"[TPU] engine must be 'tiered', 'fused', or 'auto', got {cfg.engine!r}"
@@ -174,5 +187,26 @@ def load_config(path: str = "config.ini", strict: bool = True) -> PipelineConfig
     if cfg.track_coast < 0:
         raise ValueError(
             f"[TPU] track_coast must be >= 0, got {cfg.track_coast}"
+        )
+    if cfg.track_detect_batch < 0:
+        raise ValueError(
+            f"[TPU] track_detect_batch must be >= 0 (0 = auto: batch_size), "
+            f"got {cfg.track_detect_batch}"
+        )
+    if cfg.detect_interval > 4:
+        # Measured residual: benchmarks/tracking_coverage.py shows 100%
+        # min-coverage for every modeled motion only at interval <= 4; at
+        # interval 8 curved motion dips to ~0.20 min-coverage mid-gap (the
+        # inflation envelope cannot absorb that much curvature) and
+        # blur-area overhead reaches 4.6-8.5x. The knob stays available —
+        # some deployments trade coverage for rate — but never silently.
+        from video_desensitization_tpu.utils.logging import get_logger
+
+        get_logger("config").warning(
+            "[TPU] detect_interval=%d > 4: propagated-box coverage is no "
+            "longer complete for curved motion (measured min ~0.20 at "
+            "interval 8, benchmarks/tracking_coverage.py); intervals <= 4 "
+            "are the verified-complete range",
+            cfg.detect_interval,
         )
     return cfg

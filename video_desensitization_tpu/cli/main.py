@@ -176,12 +176,21 @@ def build_engine(cfg, with_plates: bool = True, allow_random: bool = False):
     if interval > 1:
         from video_desensitization_tpu.pipeline.tracking import TrackingEngine
 
+        # Auto detect_batch reuses the engine's compiled batch size so the
+        # tracker drives the SAME XLA program as the non-tracked path; an
+        # explicit [TPU] track_detect_batch trades first-result latency and
+        # frame-buffer RAM against pipelining (api/config.py numbers).
+        detect_batch = getattr(cfg, "track_detect_batch", 0) or cfg.batch_size
         get_logger("cli").info(
-            "detect_interval=%d: keyframe detection + host-propagated "
-            "coverage on ordered streams (pipeline/tracking.py)", interval,
+            "detect_interval=%d: keyframe detection (batches of %d) + "
+            "host-propagated coverage on ordered streams "
+            "(pipeline/tracking.py)", interval, detect_batch,
         )
         engine = TrackingEngine(
-            engine, interval=interval, coast=getattr(cfg, "track_coast", 3)
+            engine,
+            interval=interval,
+            detect_batch=detect_batch,
+            coast=getattr(cfg, "track_coast", 3),
         )
     return engine
 

@@ -444,7 +444,20 @@ class TrackingEngine:
 
     RAM bound: up to ``(depth + 1) * detect_batch * interval`` raw frames
     are buffered while detections are in flight (~(depth+1)*db*N*6 MB at
-    1080p RGB, half that for I420 transport).
+    1080p RGB, half that for I420 transport). First-result latency: the
+    first keyframe batch only dispatches after ``detect_batch * interval``
+    frames arrive. Numbers at 1080p RGB, interval 4, depth 2:
+
+      detect_batch 32 -> ~2.4 GB buffered, 128-frame (~4.3 s @ 30 fps
+                         ingest) first-result latency
+      detect_batch 8  -> ~600 MB, 32 frames (~1.1 s)
+      detect_batch 1  -> ~75 MB, 4 frames — but every dispatch pays the
+                         full link round trip for one keyframe
+
+    ``cli.main.build_engine`` defaults ``detect_batch`` to the engine's
+    compiled batch size ([SETTINGS] batch_size) so tracking reuses the
+    same XLA program; ``[TPU] track_detect_batch`` overrides it to trade
+    latency/RAM against per-dispatch link efficiency.
     """
 
     def __init__(
