@@ -209,6 +209,83 @@ def run_scenario(
 SCENARIOS = ("linear", "curved", "accelerate", "scale", "appear", "jitter_miss")
 
 
+def multicam_parity(interval: int, n_frames: int, seed: int, coast: int = 3):
+    """Co-batched multicam routing == single-stream coverage, exactly.
+
+    The record job's per-camera tracking (pipeline/multicam.py) routes
+    shared-batch detection results back FIFO into per-camera
+    ``CameraTracker``s — the one place a cross-camera ordering bug would
+    silently unblur a stream. This check drives two simulated cameras
+    with DIFFERENT motions (linear vs. curved) through interleaved
+    co-batch routing (push_frame / FIFO push_detection, batch 4) and
+    asserts every emitted frame's boxes equal the direct single-stream
+    computation (KeyframeTracker + propagate_boxes + coast_boxes — the
+    math run_scenario scores). Returns True on exact parity.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from video_desensitization_tpu.pipeline.tracking import CameraTracker
+
+    s = 0.25  # small frames: parity is about routing, not resolution
+    hw = (int(H * s), int(W * s))
+    cams = {"a": "linear", "b": "curved"}
+    kf_idx = list(range(0, n_frames, interval))
+    dets = {}
+    for cam, scen in cams.items():
+        rng = np.random.default_rng(seed)
+        track = make_track(scen, n_frames, rng)
+        dets[cam] = {
+            k: [[v * s for v in b] for b in detect_at(track, k, scen, rng)]
+            for k in kf_idx
+        }
+
+    # Reference: per-frame boxes from the single-stream math.
+    ref = {cam: [] for cam in cams}
+    for cam in cams:
+        tracker = KeyframeTracker(coast=coast)
+        for ki, k in enumerate(kf_idx):
+            k_next = kf_idx[ki + 1] if ki + 1 < len(kf_idx) else None
+            d0 = dets[cam][k]
+            coasted = tracker.observe(d0)
+            d1 = dets[cam].get(k_next) if k_next is not None else None
+            n_gap = (k_next - k) if k_next is not None else (n_frames - k)
+            per_frame = propagate_boxes(d0, d1, n_gap, hw)
+            kf_extra, coast_pf = coast_boxes(coasted, n_gap, hw)
+            ref[cam].append(list(d0) + kf_extra)
+            for j in range(min(len(per_frame), n_frames - k - 1)):
+                ref[cam].append(per_frame[j] + coast_pf[j])
+
+    # Multicam-sim: round-robin interleaved frames, batch-of-4 FIFO
+    # keyframe dispatch, per-camera push_detection — multicam.py's shape.
+    got = {cam: [] for cam in cams}
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        trackers = {
+            cam: CameraTracker(interval, pool, coast=coast) for cam in cams
+        }
+        pending = []
+
+        def dispatch():
+            for cam, k in pending:
+                frame = np.zeros((hw[0], hw[1], 3), np.uint8)
+                for r in trackers[cam].push_detection(frame, dets[cam][k], []):
+                    got[cam].append(r.face_boxes[0])
+            pending.clear()
+
+        for i in range(n_frames):
+            for cam in cams:
+                frame = np.zeros((hw[0], hw[1], 3), np.uint8)
+                if trackers[cam].push_frame(frame):
+                    pending.append((cam, i))
+            if len(pending) >= 4:
+                dispatch()
+        dispatch()
+        for cam in cams:
+            for r in trackers[cam].flush():
+                got[cam].append(r.face_boxes[0])
+
+    return all(got[cam] == ref[cam] for cam in cams)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--frames", type=int, default=240)
@@ -217,6 +294,13 @@ def main():
     ap.add_argument(
         "--coast", type=int, default=3,
         help="keyframes an unmatched track coasts (TrackingEngine default)",
+    )
+    ap.add_argument(
+        "--gate", type=int, default=0, metavar="N",
+        help="exit 1 unless every scenario at interval <= N has "
+        "coverage_min == 1.0 AND unseen_total == 0 — the CI privacy gate "
+        "backing the README claim that intervals <= 4 are complete "
+        "(unseen_total alone let a 0.198-min-coverage frame pass)",
     )
     args = ap.parse_args()
 
@@ -228,8 +312,21 @@ def main():
             )
             rows.append(row)
             print(json.dumps(row))
+    mc_parity = all(
+        multicam_parity(interval, args.frames, args.seed, coast=args.coast)
+        for interval in args.intervals
+        if interval > 1
+    )
     mins = [r["coverage_min"] for r in rows if r["coverage_min"] is not None]
     means = [r["coverage_mean"] for r in rows if r["coverage_mean"] is not None]
+    gated = [
+        r
+        for r in rows
+        if args.gate and r["interval"] <= args.gate
+        and r["coverage_min"] is not None
+    ]
+    gate_min = min((r["coverage_min"] for r in gated), default=None)
+    unseen_total = sum(r["unseen_frames"] for r in rows)
     print(
         json.dumps(
             {
@@ -238,10 +335,35 @@ def main():
                 "intervals": args.intervals,
                 "coverage_mean_overall": round(float(np.mean(means)), 4),
                 "coverage_min_overall": round(float(np.min(mins)), 4),
-                "unseen_total": sum(r["unseen_frames"] for r in rows),
+                "unseen_total": unseen_total,
+                "multicam_parity": mc_parity,
+                "gate": args.gate or None,
+                "gate_min_coverage": gate_min,
             }
         )
     )
+    if args.gate:
+        bad = [r for r in gated if r["coverage_min"] < 1.0]
+        if not mc_parity:
+            print(
+                "GATE FAIL: multicam co-batch routing diverged from the "
+                "single-stream coverage result",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+        if bad or unseen_total > 0:
+            for r in bad:
+                print(
+                    f"GATE FAIL: {r['scenario']} interval {r['interval']} "
+                    f"coverage_min {r['coverage_min']} < 1.0",
+                    file=sys.stderr,
+                )
+            if unseen_total:
+                print(
+                    f"GATE FAIL: unseen_total {unseen_total} > 0",
+                    file=sys.stderr,
+                )
+            raise SystemExit(1)
 
 
 if __name__ == "__main__":
