@@ -102,6 +102,10 @@ def capture(
         for o in outs:
             np.asarray(o[2][:1])
         fps = iters * batch / (time.perf_counter() - t0)
+        # Free the timed run's donated-aliased outputs BEFORE staging the
+        # trace pass's copies — holding both doubles live HBM (~2 x 796 MB
+        # x iters at batch 128) and can OOM smaller-HBM chips.
+        del outs
         feeds = staged(iters)
         with jax.profiler.trace(out_dir):
             outs = [run1(f) for f in feeds]

@@ -303,6 +303,21 @@ class DesensitizationEngine:
             program = self.program(donate=True)
         if image_shapes is None:
             image_shapes = np.tile(np.array([[h, w]], np.float32), (b, 1))
+        elif self.share_letterbox and not np.all(
+            np.asarray(image_shapes) == [h, w]
+        ):
+            # The shared-canvas program derives its letterbox geometry from
+            # the STATIC frame-buffer shape; per-frame image_shapes only
+            # drive the inverse box mapping. A caller claiming content
+            # smaller than the buffer would letterbox pad pixels as content
+            # on the shared path while the unshared path ignored the claim
+            # — refuse rather than silently diverge.
+            raise ValueError(
+                "share_letterbox=True requires image_shapes == the frame "
+                f"buffer shape {[h, w]}; got {np.asarray(image_shapes)[0]}. "
+                "Crop/letterbox on the host first, or construct the engine "
+                "with share_letterbox=False."
+            )
         orig_b = b
         shapes_in = image_shapes
         if self.mesh is not None:
