@@ -107,48 +107,19 @@ def main() -> None:
     class _RealisticBoxPipeline(TieredPipeline):
         """Full device-detection cost, deterministic production-size boxes.
 
-        Overrides ``_unpack`` to discard the (random-init) device
-        detections and emit a synthetic detector's output instead: 3
-        face-sized (90x110 px at 1080p — the near-field face of
-        benchmarks/tracking_coverage.py) + 1 plate-sized (140x45) boxes
-        drifting a few px per frame (wrap-around = an exit + a fresh
-        entry, so the tracker sees realistic appear/disappear events).
-        The device program is untouched — dispatch, compute and readback
-        all stay in the timed path — so host mosaic / tracker cost is
+        Overrides ``_unpack`` with the shared synthetic detector
+        (benchmarks/synthetic_boxes.py): 3 face-sized + 1 plate-sized
+        drifting boxes replace the random-init device detections. The
+        device program is untouched — dispatch, compute and readback all
+        stay in the timed path — so host mosaic / tracker cost is
         measured at realistic geometry without faking any chip work.
         """
 
         def __init__(self, frame_hw, *args, **kwargs):
             super().__init__(*args, **kwargs)
-            self._hw = frame_hw
-            self._t = 0  # frames unpacked so far: deterministic motion clock
+            from benchmarks.synthetic_boxes import override_unpack
 
-        def _unpack(self, flat):
-            fpx0, fkeep0, ppx0, pkeep0 = super()._unpack(flat)
-            b = flat.shape[0]
-            h, w = self._hw
-            s = h / 1080.0
-            fw, fh = 90.0 * s, 110.0 * s
-            pw, ph = 140.0 * s, 45.0 * s
-            fpx = np.zeros((b, fpx0.shape[1], 15), np.float32)
-            fkeep = np.zeros(fkeep0.shape, bool)
-            ppx = np.zeros((b, ppx0.shape[1], 6), np.float32)
-            pkeep = np.zeros(pkeep0.shape, bool)
-            t = self._t + np.arange(b, dtype=np.float64)
-            self._t += b
-            for k in range(min(3, fpx.shape[1])):
-                x = (s * (120.0 + 500.0 * k + 6.5 * t)) % (w - fw)
-                y = (s * (80.0 + 260.0 * k + 2.2 * t)) % (h - fh)
-                fpx[:, k, 0], fpx[:, k, 1] = x, y
-                fpx[:, k, 2], fpx[:, k, 3] = x + fw, y + fh
-                fkeep[:, k] = True
-            if ppx.shape[1] >= 1:
-                x = (s * (300.0 + 4.0 * t)) % (w - pw)
-                y = (s * (700.0 + 1.1 * t)) % (h - ph)
-                ppx[:, 0, 0], ppx[:, 0, 1] = x, y
-                ppx[:, 0, 2], ppx[:, 0, 3] = x + pw, y + ph
-                pkeep[:, 0] = True
-            return fpx, fkeep, ppx, pkeep
+            override_unpack(self, frame_hw)
 
     batch = int(os.environ.get("BENCH_BATCH", "2" if smoke else "32"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "2" if smoke else "10"))

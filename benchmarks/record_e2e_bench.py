@@ -119,6 +119,16 @@ def main() -> None:
         default=True,
         help="co-batch frames from all cameras into shared device batches",
     )
+    ap.add_argument(
+        "--typical-boxes",
+        action="store_true",
+        help="replace the random-init detections (a worst-case box load: "
+        "~24 quarter-frame boxes/frame) with the deterministic "
+        "production-realistic synthetic detector (3 face-sized + 1 "
+        "plate-sized drifting boxes, benchmarks/synthetic_boxes.py); the "
+        "device program still runs in full — only host blur and tracker "
+        "load change. Tiered engine only.",
+    )
     ap.add_argument("--keep", action="store_true", help="keep the work dir")
     ap.add_argument(
         "--smoke",
@@ -199,6 +209,20 @@ def main() -> None:
         unpack_s = time.perf_counter() - t0
 
         engine = build_engine(cfg, with_plates=True, allow_random=True)
+        if args.typical_boxes:
+            from benchmarks.synthetic_boxes import override_unpack
+            from video_desensitization_tpu.pipeline.throughput import (
+                TieredPipeline,
+            )
+
+            base = getattr(engine, "base", engine)  # unwrap TrackingEngine
+            if not isinstance(base, TieredPipeline):
+                ap.error(
+                    "--typical-boxes overrides TieredPipeline._unpack; "
+                    f"engine resolved to {type(base).__name__} "
+                    "(pass --engine tiered)"
+                )
+            override_unpack(base, hw)
         t0 = time.perf_counter()
         stats = process_record_job(cfg, engine)
         job_s = time.perf_counter() - t0
@@ -219,6 +243,8 @@ def main() -> None:
                     "engine": type(engine).__name__,
                     "transfer": args.transfer,
                     "detect_interval": args.detect_interval,
+                    "typical_boxes": args.typical_boxes,
+                    "preset": args.preset,
                     "encode_threads": args.encode_threads,
                     "co_batch": args.co_batch,
                     "videos_processed": stats.videos_processed,
