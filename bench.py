@@ -30,8 +30,9 @@ headline's (same window count, no in-clock copies) and streams interval x
 as many frames per window so the keyframe pipeline reaches steady state
 (the round-4 protocol starved it to ~2.5 dispatches/window). Whether the
 knob WINS on a given host depends on box geometry, host cores, AND link
-weather (r5 hardware: +25% typical at 94.3 MB/s h2d; parity-within-noise
-at a starved 22.4 MB/s — benchmarks/bench_r5_session.json vs
+weather (r5 hardware: +25% typical at 94.3 MB/s h2d, +30% at 65.9;
+parity-within-noise at a starved 22.4 MB/s —
+benchmarks/bench_r5_session.json / bench_r5_replicate.json /
 bench_r5_badweather.json):
 tracked_fps_i4 is the worst-case bound (random-init ~24 quarter-frame
 boxes host-blurred per gap frame — pure host-mosaic saturation on a
